@@ -1,0 +1,313 @@
+"""Datasets and the host→device input pipeline.
+
+Reference: flocoder/data.py — ``fast_scandir`` (:17-43), ``PairDataset``
+(:120-143), ``ImageListDataset`` with RAM cache (:146-192), ``PreEncodedDataset``
+of saved latents with class-subdir labels (:311-384), ``InfiniteDataset``
+(:287-307), ``create_image_loaders`` (:434-480). The reference rides
+torch DataLoader worker processes; here the pipeline is a thread-pool
+prefetcher producing stacked numpy NHWC batches (threads suffice — PIL/numpy
+release the GIL for the heavy ops — and a C++ decoder can slot in under the
+same interface later).
+
+Latent files are ``.npy``/``.npz`` (this framework's pre-encode output);
+``.pt`` files from the torch reference are also readable when torch is
+installed (checkpoint-format compatibility, SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+__all__ = ["fast_scandir", "ImageFolderDataset", "PreEncodedDataset",
+           "SyntheticImageDataset", "Loader", "create_image_loaders"]
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+LATENT_EXTS = (".npy", ".npz", ".pt")
+
+
+def fast_scandir(path: str, exts: Sequence[str]) -> Tuple[List[str], List[str]]:
+    """Recursive scan for files with given extensions
+    (reference: data.py:17-43). Returns (subdirs, files), both sorted."""
+    subdirs, files = [], []
+    for root, dirs, names in os.walk(path):
+        for d in dirs:
+            subdirs.append(os.path.join(root, d))
+        for n in names:
+            if os.path.splitext(n)[1].lower() in exts:
+                files.append(os.path.join(root, n))
+    return sorted(subdirs), sorted(files)
+
+
+class ImageFolderDataset:
+    """Images under a directory tree; class label = first-level subdir name
+    when subdirs exist, else 0. Optional whole-dataset RAM cache
+    (reference: data.py:146-192)."""
+
+    def __init__(self, path: str, transform: Optional[Callable] = None,
+                 cache: bool = True):
+        self.path = os.path.expanduser(path)
+        _, self.files = fast_scandir(self.path, IMG_EXTS)
+        if not self.files:
+            raise FileNotFoundError(f"no images under {self.path}")
+        tops = sorted({self._top(f) for f in self.files})
+        self.class_names = tops
+        self.class_map = {c: i for i, c in enumerate(tops)}
+        self.transform = transform
+        self._cache: dict = {} if cache else None
+
+    def _top(self, f: str) -> str:
+        rel = os.path.relpath(f, self.path)
+        parts = rel.split(os.sep)
+        return parts[0] if len(parts) > 1 else ""
+
+    @property
+    def n_classes(self) -> int:
+        return len(self.class_names) if self.class_names != [""] else 0
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, i: int):
+        return self.get(i, np.random.default_rng())
+
+    def get(self, i: int, rng: np.random.Generator):
+        f = self.files[i]
+        if self._cache is not None and f in self._cache:
+            img = self._cache[f]
+        else:
+            img = Image.open(f).convert("RGB")
+            img.load()
+            if self._cache is not None:
+                self._cache[f] = img
+        label = self.class_map[self._top(f)]
+        out = self.transform(img, rng) if self.transform else np.asarray(img)
+        return out, np.int32(label)
+
+
+class SyntheticImageDataset:
+    """Deterministic procedural images for tests/benches where no dataset is
+    on disk (this environment has no network egress for torchvision
+    downloads). Class k = a colored blob pattern."""
+
+    def __init__(self, n: int = 256, image_size: int = 64, n_classes: int = 4,
+                 transform: Optional[Callable] = None, seed: int = 0):
+        self.n, self.image_size = n, image_size
+        self._n_classes = n_classes
+        self.transform = transform
+        self.seed = seed
+
+    @property
+    def n_classes(self) -> int:
+        return self._n_classes
+
+    def __len__(self):
+        return self.n
+
+    def get(self, i: int, rng: np.random.Generator):
+        g = np.random.default_rng(self.seed + i)
+        label = i % self._n_classes
+        s = self.image_size
+        yy, xx = np.mgrid[0:s, 0:s] / s
+        cx, cy = g.uniform(0.3, 0.7, 2)
+        r = g.uniform(0.1, 0.3)
+        blob = np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / r ** 2)
+        color = np.zeros(3)
+        color[label % 3] = 1.0
+        arr = (blob[..., None] * color[None, None, :] * 255).astype(np.uint8)
+        img = Image.fromarray(arr)
+        out = self.transform(img, rng) if self.transform else np.asarray(
+            img, np.float32) / 255.0
+        return out, np.int32(label)
+
+
+class PreEncodedDataset:
+    """Latent files saved by the pre-encode pass (reference: data.py:311-384):
+    class subdirectories are labels; files are .npy (plain latent), .npz
+    (inpainting dict {target_latents, source_latents, mask_pixels}), or
+    torch .pt from the reference. Random-replacement RAM cache like the
+    reference's."""
+
+    def __init__(self, path: str, n_classes: int = 0, cache_size: int = 20000):
+        self.path = os.path.expanduser(path)
+        subdirs, self.files = fast_scandir(self.path, LATENT_EXTS)
+        if not self.files:
+            raise FileNotFoundError(f"no latent files under {self.path}")
+        tops = sorted({self._top(f) for f in self.files})
+        self.class_map = {c: i for i, c in enumerate(tops)}
+        self.n_classes = n_classes or (len(tops) if tops != [""] else 0)
+        self.cache_size = cache_size
+        self._cache: dict = {}
+        self._inpainting = None  # lazily probed
+
+    def _top(self, f: str) -> str:
+        rel = os.path.relpath(f, self.path)
+        parts = rel.split(os.sep)
+        return parts[0] if len(parts) > 1 else ""
+
+    def __len__(self):
+        return len(self.files)
+
+    @property
+    def is_inpainting(self) -> bool:
+        if self._inpainting is None:
+            sample = self._load(self.files[0])
+            self._inpainting = isinstance(sample, dict)
+        return self._inpainting
+
+    def _load(self, f: str):
+        ext = os.path.splitext(f)[1].lower()
+        if ext == ".npy":
+            return np.load(f)
+        if ext == ".npz":
+            with np.load(f) as z:
+                if set(z.files) == {"latents"}:
+                    return z["latents"]
+                return {k: z[k] for k in z.files}
+        if ext == ".pt":  # torch reference files
+            import torch
+            obj = torch.load(f, map_location="cpu", weights_only=True)
+            if isinstance(obj, dict):
+                return {k: self._torch_to_nhwc(v) for k, v in obj.items()}
+            return self._torch_to_nhwc(obj)
+        raise ValueError(f"unknown latent file {f}")
+
+    @staticmethod
+    def _torch_to_nhwc(t):
+        arr = np.asarray(t.detach().float().numpy() if hasattr(t, "detach")
+                         else t)
+        if arr.ndim == 3:      # CHW → HWC
+            arr = np.transpose(arr, (1, 2, 0))
+        return arr
+
+    def get(self, i: int, rng: np.random.Generator):
+        f = self.files[i]
+        if f in self._cache:
+            data = self._cache[f]
+        else:
+            data = self._load(f)
+            if len(self._cache) >= self.cache_size:
+                # random replacement (reference: data.py:357-366)
+                victim = list(self._cache)[int(rng.integers(len(self._cache)))]
+                del self._cache[victim]
+            self._cache[f] = data
+        label = np.int32(self.class_map.get(self._top(f), 0))
+        return data, label
+
+
+class Loader:
+    """Thread-pool batch loader with prefetch (DataLoader replacement).
+    Yields dict batches {'target': ..., 'class_cond': ...} or, for inpainting
+    datasets, adds {'source', 'mask_pixels'} — stacked numpy NHWC arrays,
+    dropping the last partial batch (static shapes for jit)."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 num_workers: int = 4, seed: int = 0, prefetch: int = 2,
+                 key: str = "target"):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.key = key
+        self._epoch = 0
+
+    def __len__(self):
+        return len(self.dataset) // self.batch_size
+
+    def _assemble(self, items) -> dict:
+        datas, labels = zip(*items)
+        batch: dict = {"class_cond": np.stack(labels)}
+        if isinstance(datas[0], dict):
+            batch[self.key] = np.stack([d["target_latents"] for d in datas])
+            if "source_latents" in datas[0]:
+                batch["source"] = np.stack([d["source_latents"]
+                                            for d in datas])
+            if "mask_pixels" in datas[0]:
+                mp = np.stack([np.asarray(d["mask_pixels"], np.float32)
+                               for d in datas])
+                if mp.ndim == 3:
+                    mp = mp[..., None]
+                batch["mask_pixels"] = mp
+        else:
+            batch[self.key] = np.stack(datas).astype(np.float32)
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng.shuffle(order)
+        n_batches = len(self)
+        pool = ThreadPoolExecutor(self.num_workers)
+        try:
+            def make_batch(b):
+                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                item_rngs = [np.random.default_rng(rng.integers(2 ** 31))
+                             for _ in idxs]
+                items = list(pool.map(
+                    lambda a: self.dataset.get(int(a[0]), a[1]),
+                    zip(idxs, item_rngs)))
+                return self._assemble(items)
+
+            pending: "queue.Queue" = queue.Queue()
+            n_ahead = min(self.prefetch, n_batches)
+            for b in range(n_ahead):
+                pending.put(pool.submit(make_batch, b))
+            for b in range(n_batches):
+                fut = pending.get()
+                if b + n_ahead < n_batches:
+                    pending.put(pool.submit(make_batch, b + n_ahead))
+                yield fut.result()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
+def create_image_loaders(batch_size: int, image_size: int, data_path: str,
+                         num_workers: int = 4, is_midi: bool = False,
+                         config=None, val_frac: float = 0.1,
+                         seed: int = 0) -> Tuple[Loader, Loader]:
+    """Train/val image loaders by dataset path (reference: data.py:434-480).
+    The reference dispatches on path substrings to torchvision downloads
+    {flowers, stl10, food101}; with no network egress here, any existing
+    directory is treated as an image folder and missing paths fall back to a
+    synthetic dataset (documented divergence — the download behavior can be
+    restored where egress exists)."""
+    from .transforms import image_transforms, midi_transforms
+
+    tf = (midi_transforms(image_size) if is_midi
+          else image_transforms(image_size))
+    path = os.path.expanduser(data_path)
+    if os.path.isdir(path):
+        dataset = ImageFolderDataset(path, transform=tf)
+    else:
+        dataset = SyntheticImageDataset(image_size=image_size, transform=tf)
+
+    n = len(dataset)
+    idx = np.arange(n)
+    np.random.default_rng(seed).shuffle(idx)
+    n_val = max(1, int(n * val_frac))
+
+    class _Subset:
+        def __init__(self, base, ids):
+            self.base, self.ids = base, ids
+            self.n_classes = getattr(base, "n_classes", 0)
+
+        def __len__(self):
+            return len(self.ids)
+
+        def get(self, i, rng):
+            return self.base.get(int(self.ids[i]), rng)
+
+    train = Loader(_Subset(dataset, idx[n_val:]), batch_size, True,
+                   num_workers, seed)
+    val = Loader(_Subset(dataset, idx[:n_val]), batch_size, True,
+                 num_workers, seed + 1)
+    return train, val

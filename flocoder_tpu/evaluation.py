@@ -1,0 +1,138 @@
+"""Sampling + evaluation orchestration (reference: sampling.py:150-322).
+
+``sampler`` generates latents and decodes them in chunks; ``evaluate_model``
+computes the sample-metric bundle, tracks codebook usage and saves image
+grids. These are host-level orchestrators around the jitted pieces
+(sampling.generate_latents, codec apply fns, metrics.compute_sample_metrics)
+— the reference's per-eval forced syncs and empty_cache hygiene
+(sampling.py:64-67, 92-94) are intentionally absent.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .metrics import compute_sample_metrics, g2rgb
+from .sampling import generate_latents
+from .utils import logging as wblog
+from .utils.viz import save_img_grid
+
+__all__ = ["decode_latents", "sampler", "evaluate_model"]
+
+
+def decode_latents(codec, codec_params, latents, is_midi: bool = False,
+                   keep_gray: bool = False, chunk_size: int = 128):
+    """Chunked decode (reference: sampling.py:169-183) with MIDI g2rgb
+    postprocessing (:166)."""
+    outs = []
+    for i in range(0, latents.shape[0], chunk_size):
+        dec = codec.decode(codec_params, latents[i:i + chunk_size])
+        outs.append(g2rgb(dec, keep_gray=keep_gray) if is_midi else dec)
+    return jnp.concatenate(outs, axis=0)
+
+
+def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
+            method: str = "rk4", batch_size: int = 256, n_steps: int = 100,
+            cond: Optional[dict] = None, n_classes: int = 0,
+            latent_shape=(16, 16, 4), cfg_strength: float = 3.0,
+            is_midi: bool = False, keep_gray: bool = False, source=None,
+            init_image=None, init_strength: float = 0.0):
+    """Generate predicted latents and decode them
+    (reference: sampling.py:186-229). latent_shape is (H, W, C) NHWC.
+    Returns (pred_latents, decoded_pred, nfe)."""
+    k_init, k_gen, k_cls = jax.random.split(rng, 3)
+
+    init_latents = None
+    if init_image is not None:
+        init_latents = codec.encode(codec_params, init_image)
+        if init_latents.shape[0] == 1 and batch_size > 1:
+            init_latents = jnp.tile(init_latents, (batch_size, 1, 1, 1))
+
+    shape = (batch_size,) + tuple(latent_shape)
+    if source is not None:
+        source = source[:batch_size]
+
+    cond = dict(cond) if cond else {}
+    if cond.get("class_cond") is None and n_classes > 0:
+        # class grid: 10 columns each a single class (reference: sampling.py:216-217)
+        cols = jax.random.randint(k_cls, (10,), 0, n_classes)
+        cond["class_cond"] = jnp.tile(cols, max(batch_size // 10, 1))[:batch_size]
+    elif cond.get("class_cond") is not None:
+        cond["class_cond"] = cond["class_cond"][:batch_size]
+    if cond.get("mask_cond") is not None:
+        cond["mask_cond"] = cond["mask_cond"][:batch_size]
+    if not cond or all(v is None for v in cond.values()):
+        cond = None
+
+    pred_latents, nfe = generate_latents(
+        model_apply, shape, k_gen, method=method, n_steps=n_steps, cond=cond,
+        cfg_strength=cfg_strength, source=source, init_latents=init_latents,
+        init_strength=init_strength)
+    decoded = decode_latents(codec, codec_params, pred_latents,
+                             is_midi=is_midi, keep_gray=keep_gray)
+    return pred_latents, decoded, nfe
+
+
+def evaluate_model(model_apply: Callable, codec, codec_params, epoch: int,
+                   target_latents, rng: jax.Array, cond: Optional[dict] = None,
+                   batch_size: int = 256, n_classes: int = 0,
+                   method: str = "rk4", n_steps: int = 100,
+                   cfg_strength: float = 3.0, is_midi: bool = False,
+                   keep_gray: bool = False, tag: str = "",
+                   cb_tracker=None, codec_quantize: Optional[Callable] = None,
+                   use_wandb: bool = True, output_dir: str = "./",
+                   source=None, mask_pixels=None, feature_fn=None) -> dict:
+    """Sample, decode, compute metrics, track codebook usage, save grids
+    (reference: sampling.py:233-322)."""
+    batch_size = min(batch_size, target_latents.shape[0])
+    latent_shape = target_latents.shape[-3:]
+    pred_latents, decoded_pred, nfe = sampler(
+        model_apply, codec, codec_params, rng, method=method,
+        batch_size=batch_size, n_steps=n_steps, cond=cond,
+        n_classes=n_classes, latent_shape=latent_shape,
+        cfg_strength=cfg_strength, is_midi=is_midi, keep_gray=keep_gray,
+        source=source)
+
+    decoded_target = decode_latents(codec, codec_params,
+                                    target_latents[:batch_size],
+                                    is_midi=is_midi, keep_gray=keep_gray)
+    metrics = compute_sample_metrics(pred_latents,
+                                     target_latents[:batch_size],
+                                     decoded_pred, decoded_target,
+                                     feature_fn=feature_fn)
+
+    if cb_tracker is not None and codec_quantize is not None:
+        # Track target + generated latent codebook usage
+        # (reference: sampling.py:277-292)
+        _, idx_t, _, _ = codec_quantize(target_latents[:batch_size])
+        cb_tracker.update_counts("val", idx_t.reshape(-1, idx_t.shape[-1]))
+        _, idx_g, _, _ = codec_quantize(pred_latents)
+        cb_tracker.update_counts("gen", idx_g.reshape(-1, idx_g.shape[-1]))
+
+    images = {"pred_latents": pred_latents,
+              "target_latents": target_latents[:batch_size],
+              "decoded_pred": decoded_pred,
+              "decoded_target": decoded_target}
+    if source is not None:
+        images["source_latents"] = source[:batch_size]
+        images["decoded_source"] = decode_latents(
+            codec, codec_params, source[:batch_size], is_midi=is_midi,
+            keep_gray=keep_gray)
+    if cond and cond.get("mask_cond") is not None:
+        images["mask_latents"] = cond["mask_cond"][:batch_size]
+    if mask_pixels is not None:
+        images["mask_pixels"] = jnp.asarray(mask_pixels[:batch_size],
+                                            jnp.float32)
+
+    for key, val in images.items():
+        save_img_grid(np.asarray(val), epoch, nfe,
+                      tag=f"{tag}{key}_{method}_{nfe}",
+                      use_wandb=use_wandb, output_dir=output_dir)
+
+    if use_wandb and metrics:
+        wblog.log({f"metrics/{tag}{k}": v for k, v in metrics.items()}
+                  | {"epoch": epoch})
+    return {k: float(v) for k, v in metrics.items()}

@@ -1,0 +1,83 @@
+"""Device-mesh / sharding layer — new capability the reference lacks.
+
+The reference is strictly single-device (SURVEY.md §2d: no DDP/collectives of
+any kind). This module provides the TPU-native distributed layer specified in
+SURVEY.md §5.8: a ``jax.sharding.Mesh`` over ICI (with room for a DCN axis in
+multi-slice deployments), batch data parallelism for training and the
+pre-encode pass, and helpers that make single-chip a degenerate mesh so every
+recipe still runs on one device (or CPU).
+
+Sharding policy:
+- batch arrays: sharded over the 'data' axis (leading dim)
+- params / optimizer state / EMA: replicated (these models are small; FSDP-
+  style param sharding hooks are provided but default off)
+- RVQ codebook EMA statistics: accumulated per-shard, psum-reduced over 'data'
+  (the one true cross-device reduction the algorithm family needs,
+  SURVEY.md §2d)
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh", "data_sharding", "replicated", "shard_batch",
+    "host_device_count", "maybe_init_distributed", "P", "Mesh",
+]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def maybe_init_distributed() -> None:
+    """Initialize jax.distributed when launched multi-host (env-driven);
+    harmless no-op in single-process runs."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Create a ('data', 'model') mesh. Defaults to all visible devices on the
+    data axis; a single device yields a degenerate 1×1 mesh so jitted code is
+    identical on one chip or a pod slice."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Sharding that splits the leading (batch) axis over 'data'."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch (pytree of arrays) sharded over 'data' on the
+    leading axis; the TPU equivalent of the reference's ``.to(device)``.
+
+    On a degenerate 1-device mesh this is a plain device_put — NamedSharding
+    placement is skipped there (it also hangs the experimental axon TPU
+    backend used for single-chip tunneling)."""
+    single = mesh.size == 1
+
+    def put(x):
+        x = np.asarray(x)
+        if single:
+            return jax.device_put(x, mesh.devices.flat[0])
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def host_device_count() -> int:
+    return jax.local_device_count()

@@ -1,0 +1,284 @@
+"""ODE sampling for latent flow matching — TPU-native integrators.
+
+Reference behavior: flocoder/sampling.py (warp_time :23, rk4_step :37,
+v_func_cfg :51, generate_latents_rk4 :79, generate_latents :127, sampler :186).
+
+TPU-first redesign, not a translation:
+
+- The whole integration is ONE jitted ``lax.scan`` over a precomputed (warped)
+  time grid, with the velocity-field evaluation fused into the step update.
+  The reference runs a Python loop with a forced host sync per step
+  (sampling.py:64-67, a CUDA-memory workaround) — we deliberately drop that.
+- Classifier-free guidance evaluates cond+uncond in a single batched forward
+  (concat on batch axis → one big MXU-friendly matmul pass) instead of the
+  reference's two sequential model calls (sampling.py:69-74).
+- Adaptive RK45 (Dormand–Prince) runs on-device via ``lax.while_loop`` —
+  closing the reference's known gap ("Make RK4(5) integrator fully
+  CUDA-compatible", reference README.md:146; its scipy RK45 was CPU-only and
+  removed, sampling.py:4,142).
+- Stochastic jitter uses explicit ``jax.random`` keys instead of Python RNG
+  (sampling.py:118-119).
+
+All arrays are NHWC.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "warp_time",
+    "euler_step",
+    "rk4_step",
+    "cfg_velocity",
+    "generate_latents_rk4",
+    "generate_latents_euler",
+    "generate_latents_rk45",
+    "generate_latents",
+]
+
+
+def warp_time(t, dt=None, s: float = 0.5):
+    """Parametric time warp (reference: sampling.py:23-33).
+
+    ``tw = 4(1-s)t^3 + 6(s-1)t^2 + (3-2s)t``; s=1 linear, s<1 slower middle,
+    s>1 slower ends; s=1.5 ≈ cosine schedule. If ``dt`` is given, also returns
+    the warped step via the analytic derivative.
+    """
+    if s < 0 or s > 1.5:
+        raise ValueError(f"s={s} is out of bounds [0, 1.5].")
+    t = jnp.asarray(t)
+    tw = 4 * (1 - s) * t**3 + 6 * (s - 1) * t**2 + (3 - 2 * s) * t
+    if dt is not None:
+        deriv = 12 * (1 - s) * t**2 + 12 * (s - 1) * t + (3 - 2 * s)
+        return tw, dt * deriv
+    return tw
+
+
+def euler_step(f: Callable, y, t, dt):
+    """Single forward-Euler step (reference: legacy/train_sd_flowers.py:50-67)."""
+    return y + dt * f(y, t)
+
+
+def rk4_step(f: Callable, y, t, dt):
+    """Classic RK4 step (reference: sampling.py:37-48)."""
+    k1 = f(y, t)
+    k2 = f(y + dt * k1 / 2, t + dt / 2)
+    k3 = f(y + dt * k2 / 2, t + dt / 2)
+    k4 = f(y + dt * k3, t + dt)
+    return y + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def cfg_velocity(apply_fn: Callable, cond: Optional[dict], cfg_strength: float,
+                 t_scale: float = 999.0) -> Callable:
+    """Build a velocity function ``f(x, t) -> v`` with classifier-free guidance.
+
+    ``apply_fn(x, t_vec, cond)`` is the model forward (params already bound).
+    With class conditioning active and ``cfg_strength`` nonzero, cond and
+    uncond branches are evaluated in ONE forward by concatenating along the
+    batch axis, then mixed as ``v = v_u + w * (v_c - v_u)``
+    (reference: sampling.py:51-76).
+    """
+    has_class = cond is not None and cond.get("class_cond") is not None
+    use_cfg = has_class and cfg_strength is not None and cfg_strength != 0
+
+    if not use_cfg:
+        def f(x, t):
+            t_vec = jnp.full((x.shape[0],), t, dtype=x.dtype) * t_scale
+            return apply_fn(x, t_vec, cond)
+        return f
+
+    def f(x, t):
+        b = x.shape[0]
+        t_vec = jnp.full((2 * b,), t, dtype=x.dtype) * t_scale
+        x2 = jnp.concatenate([x, x], axis=0)
+        cond2 = dict(cond)
+        cond2["class_cond"] = jnp.concatenate(
+            [cond["class_cond"], jnp.full_like(cond["class_cond"], -1)], axis=0)
+        if cond.get("mask_cond") is not None:
+            cond2["mask_cond"] = jnp.concatenate(
+                [cond["mask_cond"], cond["mask_cond"]], axis=0)
+        v2 = apply_fn(x2, t_vec, cond2)
+        v_c, v_u = v2[:b], v2[b:]
+        return v_u + cfg_strength * (v_c - v_u)
+
+    return f
+
+
+def _time_grid(n_steps: int, init_strength: float, warp_s: float, dtype):
+    """Warped integration grid t ∈ [init_strength, 1]
+    (reference: sampling.py:101-111)."""
+    if init_strength > 0:
+        n_steps = max(1, int(n_steps * (1.0 - init_strength)))
+    ts = jnp.linspace(init_strength, 1.0, n_steps, dtype=dtype)
+    if warp_s is not None:
+        ts = warp_time(ts, s=warp_s)
+    return ts
+
+
+def _integrate_scan(step_fn: Callable, v_func: Callable, x0, ts,
+                    jitter_strength: float = 0.0, rng: Optional[jax.Array] = None):
+    """Scan a one-step integrator over a time grid; jitter optionally added
+    with probability 0.1 per step, decaying as (1 - t)
+    (reference: sampling.py:116-119)."""
+    n = ts.shape[0] - 1
+    use_jitter = jitter_strength > 0 and rng is not None
+    keys = jax.random.split(rng, n) if use_jitter else jnp.zeros((n, 2), dtype=jnp.uint32)
+
+    def body(x, inp):
+        t0, t1, key = inp
+        x = step_fn(v_func, x, t0, t1 - t0)
+        if use_jitter:
+            k_gate, k_noise = jax.random.split(key)
+            gate = jax.random.uniform(k_gate) < 0.1
+            noise = jax.random.normal(k_noise, x.shape, x.dtype)
+            x = x + gate * noise * jitter_strength * (1 - t0)
+        return x, None
+
+    x_final, _ = jax.lax.scan(body, x0, (ts[:-1], ts[1:], keys))
+    return x_final
+
+
+def generate_latents_rk4(apply_fn: Callable, shape, rng: jax.Array,
+                         n_steps: int = 50, cond: Optional[dict] = None,
+                         cfg_strength: float = 3.0, source=None,
+                         init_latents=None, init_strength: float = 0.0,
+                         jitter_strength: float = 0.0, t_scale: float = 999.0,
+                         warp_s: float = 0.5, dtype=jnp.float32):
+    """RK4 integration from noise (or source/init-latents) to data
+    (reference: sampling.py:79-122). Returns ``(latents, nfe)``.
+
+    ``apply_fn(x, t_vec, cond)`` must be a pure function of its inputs; the
+    scan is jit-compatible and meant to be wrapped in ``jax.jit``/``pjit`` by
+    the caller (see ``make_sampler``).
+    """
+    k_init, k_jitter = jax.random.split(rng)
+    x0 = source if source is not None else jax.random.normal(k_init, shape, dtype)
+    if init_latents is not None:
+        x0 = (1 - init_strength) * x0 + init_strength * init_latents
+    else:
+        init_strength = 0.0
+        jitter_strength = 0.0
+    ts = _time_grid(n_steps, init_strength, warp_s, dtype)
+    v_func = cfg_velocity(apply_fn, cond, cfg_strength, t_scale)
+    x = _integrate_scan(rk4_step, v_func, x0, ts, jitter_strength, k_jitter)
+    nfe = (ts.shape[0] - 1) * 4
+    return x, nfe
+
+
+def generate_latents_euler(apply_fn: Callable, shape, rng: jax.Array,
+                           n_steps: int = 100, cond: Optional[dict] = None,
+                           cfg_strength: float = 3.0, source=None,
+                           init_latents=None, init_strength: float = 0.0,
+                           t_scale: float = 999.0, warp_s: float = 0.5,
+                           dtype=jnp.float32):
+    """Euler integration (reference: legacy/train_sd_flowers.py:50-67, with the
+    live repo's time-warp grid applied). Returns ``(latents, nfe)``."""
+    k_init, _ = jax.random.split(rng)
+    x0 = source if source is not None else jax.random.normal(k_init, shape, dtype)
+    if init_latents is not None:
+        x0 = (1 - init_strength) * x0 + init_strength * init_latents
+    else:
+        init_strength = 0.0
+    ts = _time_grid(n_steps, init_strength, warp_s, dtype)
+    v_func = cfg_velocity(apply_fn, cond, cfg_strength, t_scale)
+    x = _integrate_scan(euler_step, v_func, x0, ts)
+    return x, ts.shape[0] - 1
+
+
+# Dormand–Prince RK45 Butcher tableau.
+_DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
+_DP_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40)
+
+
+def generate_latents_rk45(apply_fn: Callable, shape, rng: jax.Array,
+                          cond: Optional[dict] = None, cfg_strength: float = 3.0,
+                          source=None, rtol: float = 1e-3, atol: float = 1e-4,
+                          max_steps: int = 1000, t_scale: float = 999.0,
+                          dtype=jnp.float32):
+    """Adaptive Dormand–Prince RK45 integration on device via
+    ``lax.while_loop`` — the fully-on-device adaptive solver the reference
+    lacked (reference README.md:146 TODO; its scipy version at
+    legacy/train_sd_flowers.py:78-105 ran on CPU). A single scalar step size is
+    controlled by the max error norm over the batch (static shapes, no host
+    sync). Returns ``(latents, nfe)`` where nfe counts actual model evals."""
+    k_init, _ = jax.random.split(rng)
+    x0 = source if source is not None else jax.random.normal(k_init, shape, dtype)
+    v_func = cfg_velocity(apply_fn, cond, cfg_strength, t_scale)
+
+    def dp_step(x, t, dt):
+        ks = []
+        for i in range(7):
+            xi = x
+            for j, a in enumerate(_DP_A[i]):
+                xi = xi + dt * a * ks[j]
+            ks.append(v_func(xi, t + _DP_C[i] * dt))
+        x5 = x
+        x4 = x
+        for i in range(7):
+            x5 = x5 + dt * _DP_B5[i] * ks[i]
+            x4 = x4 + dt * _DP_B4[i] * ks[i]
+        err = x5 - x4
+        return x5, err
+
+    def err_norm(err, x_old, x_new):
+        scale = atol + rtol * jnp.maximum(jnp.abs(x_old), jnp.abs(x_new))
+        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+
+    def cond_fn(state):
+        _, t, _, steps, _ = state
+        return jnp.logical_and(t < 1.0, steps < max_steps)
+
+    def body_fn(state):
+        x, t, dt, steps, nfe = state
+        dt = jnp.minimum(dt, 1.0 - t)
+        x_new, err = dp_step(x, t, dt)
+        norm = err_norm(err, x, x_new)
+        accept = norm <= 1.0
+        factor = jnp.clip(0.9 * jnp.where(norm > 0, norm, 1e-10) ** (-0.2), 0.2, 5.0)
+        dt_next = jnp.clip(dt * factor, 1e-5, 1.0)
+        x = jnp.where(accept, x_new, x)
+        t = jnp.where(accept, t + dt, t)
+        return (x, t, dt_next, steps + 1, nfe + 6)  # FSAL not exploited; 7 evals, 1 shared
+
+    init_dt = jnp.asarray(0.05, dtype)
+    x, t, _, steps, nfe = jax.lax.while_loop(
+        cond_fn, body_fn, (x0, jnp.asarray(0.0, dtype), init_dt,
+                           jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)))
+    return x, nfe
+
+
+def generate_latents(apply_fn: Callable, shape, rng: jax.Array,
+                     method: str = "rk4", n_steps: int = 50,
+                     cond: Optional[dict] = None, cfg_strength: float = 3.0,
+                     source=None, init_latents=None, init_strength: float = 0.0,
+                     t_scale: float = 999.0, dtype=jnp.float32):
+    """Dispatch by method ∈ {'rk4', 'euler', 'rk45'}
+    (reference: sampling.py:127-146 — whose 'rk45' branch called a removed
+    function; here it works)."""
+    common = dict(cond=cond, cfg_strength=cfg_strength, source=source,
+                  t_scale=t_scale, dtype=dtype)
+    if method == "rk45":
+        return generate_latents_rk45(apply_fn, shape, rng, **common)
+    if method == "euler":
+        return generate_latents_euler(apply_fn, shape, rng, n_steps=n_steps,
+                                      init_latents=init_latents,
+                                      init_strength=init_strength, **common)
+    return generate_latents_rk4(apply_fn, shape, rng, n_steps=n_steps,
+                                init_latents=init_latents,
+                                init_strength=init_strength, **common)

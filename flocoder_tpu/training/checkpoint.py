@@ -1,0 +1,154 @@
+"""Checkpoint save/load with the reference's external contract.
+
+Reference format (flocoder/general.py:120-137): a single file holding
+``{'model_state_dict', 'epoch', 'optimizer_state_dict', 'config'}`` with
+mtime-based rotation (``keep_recent_files``, general.py:77-81) and prefix
+naming (``flow_``/``flowema_``/``vqgan_``). Here the same dict contract is
+kept — state dicts are flat ``{dotted/path: numpy array}`` mappings — stored
+as a compressed ``.npz`` plus a JSON sidecar inside one ``.fckpt`` zip-like
+file (actually just .npz with config embedded as JSON string), so checkpoints
+are framework-portable without pickle.
+
+Partial/frozen loading (reference general.py:86-116) is supported via
+``load_into_tree`` with ``strict=False`` semantics.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import time
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from ..config import to_dict, config_from_dict
+
+__all__ = [
+    "flatten_tree", "unflatten_tree", "save_checkpoint", "load_checkpoint",
+    "load_into_tree", "keep_recent_files", "latest_checkpoint",
+]
+
+_SEP = "/"
+
+
+def flatten_tree(tree, prefix: str = "") -> dict:
+    """Pytree → flat {path: np.ndarray}."""
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = _SEP.join(_path_part(p) for p in path)
+        flat[(prefix + key) if prefix else key] = np.asarray(leaf)
+    return flat
+
+
+def _path_part(p) -> str:
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return str(p.idx)
+    if hasattr(p, "name"):
+        return str(p.name)
+    return str(p)
+
+
+def unflatten_tree(flat: dict) -> dict:
+    """Flat {path: array} → nested dict."""
+    out: dict = {}
+    for key, val in flat.items():
+        parts = key.split(_SEP)
+        node = out
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = val
+    return out
+
+
+def save_checkpoint(params, epoch: int, ckpt_dir: str = "checkpoints",
+                    prefix: str = "flow_", opt_state=None, config=None,
+                    ema=None, extra: Optional[dict] = None, keep: int = 5) -> str:
+    """Write ``{prefix}{epoch}.npz`` with the reference's field contract
+    (general.py:120-137) and rotate old files (keep most-recent ``keep``)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {f"model_state_dict{_SEP}{k}": v
+               for k, v in flatten_tree(params).items()}
+    if opt_state is not None:
+        payload.update({f"optimizer_state_dict{_SEP}{k}": v
+                        for k, v in flatten_tree(opt_state).items()})
+    if ema is not None:
+        payload.update({f"ema_state_dict{_SEP}{k}": v
+                        for k, v in flatten_tree(ema).items()})
+    for k, v in (extra or {}).items():
+        payload.update({f"{k}{_SEP}{kk}": vv
+                        for kk, vv in flatten_tree(v).items()})
+    payload["epoch"] = np.asarray(epoch)
+    if config is not None:
+        payload["config_json"] = np.asarray(json.dumps(to_dict(config)))
+    path = os.path.join(ckpt_dir, f"{prefix}{epoch}.npz")
+    np.savez_compressed(path, **payload)
+    keep_recent_files(keep, directory=ckpt_dir, pattern=f"{prefix}*.npz")
+    return path
+
+
+def load_checkpoint(path: str) -> dict:
+    """Returns {'model_state_dict': nested dict, 'optimizer_state_dict': ...,
+    'ema_state_dict': ..., 'epoch': int, 'config': Config or None}."""
+    with np.load(path, allow_pickle=False) as data:
+        groups: dict = {}
+        epoch = 0
+        config = None
+        for key in data.files:
+            if key == "epoch":
+                epoch = int(data[key])
+            elif key == "config_json":
+                config = config_from_dict(json.loads(str(data[key])))
+            else:
+                head, _, rest = key.partition(_SEP)
+                groups.setdefault(head, {})[rest] = data[key]
+    out: dict = {k: unflatten_tree(v) for k, v in groups.items()}
+    out["epoch"] = epoch
+    out["config"] = config
+    return out
+
+
+def load_into_tree(template, state_dict: dict, strict: bool = True):
+    """Restore arrays into the structure of ``template``. With strict=False,
+    missing keys keep template values and extra keys are ignored (the
+    reference's strict=False old-checkpoint path, codecs.py:737)."""
+    flat_t = flatten_tree(template)
+    missing = [k for k in flat_t if k not in state_dict]
+    extra = [k for k in state_dict if k not in flat_t]
+    if strict and (missing or extra):
+        raise KeyError(f"checkpoint mismatch: missing={missing[:5]} extra={extra[:5]}")
+    flat_new = {}
+    for k, v in flat_t.items():
+        if k in state_dict:
+            arr = np.asarray(state_dict[k])
+            if arr.shape != v.shape:
+                if strict:
+                    raise ValueError(f"shape mismatch for {k}: {arr.shape} vs {v.shape}")
+                arr = v
+            flat_new[k] = arr.astype(v.dtype)
+        else:
+            flat_new[k] = v
+    nested = unflatten_tree(flat_new)
+    leaves_new = [flat_new[k] for k in flat_t]  # same order as template flatten
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(treedef, leaves_new)
+
+
+def keep_recent_files(keep: int, directory: str, pattern: str = "*") -> None:
+    """mtime-based GC (reference: general.py:77-81)."""
+    files = sorted(glob.glob(os.path.join(directory, pattern)),
+                   key=os.path.getmtime)
+    for f in files[:-keep] if keep > 0 else files:
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+
+
+def latest_checkpoint(ckpt_dir: str, prefix: str = "flow_") -> Optional[str]:
+    files = glob.glob(os.path.join(ckpt_dir, f"{prefix}*.npz"))
+    return max(files, key=os.path.getmtime) if files else None

@@ -1,0 +1,212 @@
+"""Flow-matching training: jitted train/eval steps.
+
+Reference hot loop: train_flow.py:331-397 with batch prep in
+``batch_to_data`` (train_flow.py:90-182). TPU-first redesign: the ENTIRE step
+— noise draw, inpainting mask encoding + blending, on-device OT pairing, CFG
+conditioning dropout, time-warped interpolation, U-Net fwd/bwd, gradient
+clipping, Adam update, and the EMA update — is one jitted function with the
+state donated, so a training step is a single XLA executable with zero host
+round-trips (the reference does OT pairing in a Python loop and EMA on CPU
+every step, train_flow.py:33-71, ot.py:70-78).
+
+Conditioning-dropout semantics (reference train_flow.py:344-346): with p=0.1
+per step the whole batch goes unconditional — class ids become the null token
+(-1), the inpainting mask becomes all-ones (which the U-Net bypasses,
+unet.py:301), and the source is resampled from fresh noise.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..ops.ot import compute_ot_pairing_greedy
+from ..sampling import warp_time
+from .ema import ema_init, ema_update
+
+__all__ = ["FlowState", "create_flow_state", "make_flow_train_step",
+           "make_flow_eval_step", "make_flow_optimizer"]
+
+
+@struct.dataclass
+class FlowState:
+    params: Any            # {'model': ..., 'mask_encoder': Optional[...]}
+    opt_state: Any
+    ema: Any
+    step: jax.Array
+
+
+def make_flow_optimizer(learning_rate, mask_encoder: bool = False,
+                        grad_clip: float = 1.0, mask_grad_clip: float = 0.5,
+                        mask_lr_scale: float = 0.1):
+    """Adam with per-group LR and clipping (reference: train_flow.py:311-319,
+    392-394: mask-encoder group at 0.1× LR, clip 1.0 / 0.5)."""
+    def scale_lr(s):
+        if callable(learning_rate):
+            return lambda count: learning_rate(count) * s
+        return learning_rate * s
+
+    model_tx = optax.chain(optax.clip_by_global_norm(grad_clip),
+                           optax.adam(scale_lr(1.0)))
+    if not mask_encoder:
+        return model_tx
+    mask_tx = optax.chain(optax.clip_by_global_norm(mask_grad_clip),
+                          optax.adam(scale_lr(mask_lr_scale)))
+    return optax.multi_transform(
+        {"model": model_tx, "mask": mask_tx},
+        param_labels={"model": "model", "mask_encoder": "mask"})
+
+
+def create_flow_state(params: dict, tx) -> FlowState:
+    return FlowState(params=params, opt_state=tx.init(params),
+                     ema=ema_init(params), step=jnp.zeros((), jnp.int32))
+
+
+def _interp(source, target, t):
+    te = t[:, None, None, None]
+    return (1 - te) * source + te * target
+
+
+def make_flow_train_step(model_apply: Callable, tx,
+                         mask_encoder_apply: Optional[Callable] = None,
+                         cfg_dropout: float = 0.1, eps: float = 1e-3,
+                         warp_s: float = 0.5, t_scale: float = 999.0,
+                         ema_decay: float = 0.999, use_ot: bool = True,
+                         mask_identity_weight: float = 1.0,
+                         remat: bool = False,
+                         donate: Optional[bool] = None):
+    """Build the jitted train step.
+
+    ``model_apply(params, x, t_vec, cond)`` and (optionally)
+    ``mask_encoder_apply(params, mask_pixels)`` are pure functions.
+    Batch: {'target': (B,H,W,C) latents, 'class_cond': (B,) int or absent,
+    'source': source latents (inpainting), 'mask_pixels': (B,Hp,Wp,1)}.
+    """
+    if remat:
+        model_apply = jax.checkpoint(model_apply)
+    if donate is None:
+        # Buffer donation is the TPU fast path (in-place state update in HBM);
+        # on the virtual multi-device CPU platform it trips an XLA CPU
+        # collective-rendezvous abort, so it defaults off there.
+        donate = jax.default_backend() != "cpu"
+
+    def step_fn(state: FlowState, batch: dict, rng: jax.Array):
+        target_in = batch["target"]
+        class_cond_in = batch.get("class_cond")
+        B = target_in.shape[0]
+        k_noise, k_gate, k_cfgnoise, k_t = jax.random.split(rng, 4)
+        noise = jax.random.normal(k_noise, target_in.shape, target_in.dtype)
+        drop = jax.random.uniform(k_gate) < cfg_dropout
+
+        t = jax.random.uniform(k_t, (B,), target_in.dtype) * (1 - eps) + eps
+        t = warp_time(t, s=warp_s)  # (reference: train_flow.py:350-351)
+
+        inpainting = mask_encoder_apply is not None and "mask_pixels" in batch
+
+        def loss_fn(params):
+            target = target_in
+            if inpainting:
+                mask_pixels = batch["mask_pixels"].astype(target.dtype)
+                mask = mask_encoder_apply(params["mask_encoder"], mask_pixels)
+                src = batch["source"]
+                # mask blending: source + mask*(noise - source)
+                # (reference: inpainting.py:250-253, train_flow.py:156-158)
+                source = src + mask * (noise - src)
+            else:
+                mask = None
+                source = noise
+
+            # CFG dropout: batch-wide gate (reference: train_flow.py:344-346)
+            if class_cond_in is not None:
+                class_cond = jnp.where(drop, -jnp.ones_like(class_cond_in),
+                                       class_cond_in)
+            else:
+                class_cond = None
+            source = jnp.where(drop,
+                               jax.random.normal(k_cfgnoise, source.shape,
+                                                 source.dtype), source)
+            if mask is not None:
+                mask = jnp.where(drop, jnp.ones_like(mask), mask)
+
+            if use_ot:
+                # Minibatch-OT target pairing, on device
+                # (reference: train_flow.py:163-166). Divergence from the
+                # reference (documented): the class label is permuted WITH its
+                # target — the reference leaves labels behind, silently
+                # decoupling class conditioning from the paired target.
+                idx = compute_ot_pairing_greedy(jax.lax.stop_gradient(source),
+                                                jax.lax.stop_gradient(target))
+                target = target[idx]
+                if class_cond is not None:
+                    class_cond = class_cond[idx]
+
+            x = _interp(source, target, t)
+            v_star = target - source
+            cond = {"class_cond": class_cond, "mask_cond": mask}
+            v = model_apply(params["model"], x, t * t_scale, cond)
+            loss = jnp.mean((v - v_star) ** 2)
+
+            aux = {"loss_flow": loss}
+            if inpainting and mask_identity_weight:
+                # 0/1 identity regularizer (reference: train_flow.py:362-371)
+                ones_in = jnp.ones_like(batch["mask_pixels"], target.dtype)
+                zeros_in = jnp.zeros_like(ones_in)
+                m1 = mask_encoder_apply(params["mask_encoder"], ones_in)
+                m0 = mask_encoder_apply(params["mask_encoder"], zeros_in)
+                mask_loss = jnp.mean((m1 - 1.0) ** 2) + jnp.mean(m0 ** 2)
+                loss = loss + mask_identity_weight * mask_loss
+                aux["loss_mask"] = mask_loss
+            aux["loss"] = loss
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = ema_update(state.ema, params, ema_decay)
+        new_state = FlowState(params=params, opt_state=opt_state, ema=ema,
+                              step=state.step + 1)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return new_state, aux
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_flow_eval_step(model_apply: Callable,
+                        mask_encoder_apply: Optional[Callable] = None,
+                        eps: float = 1e-3, warp_s: float = 0.5,
+                        t_scale: float = 999.0, use_ot: bool = True):
+    """Validation loss on a batch (reference: train_flow.py:404-418), same
+    interpolation path, no updates. Uses the given params (raw or EMA)."""
+
+    def eval_fn(params: dict, batch: dict, rng: jax.Array):
+        target = batch["target"]
+        class_cond = batch.get("class_cond")
+        B = target.shape[0]
+        k_noise, k_t = jax.random.split(rng)
+        noise = jax.random.normal(k_noise, target.shape, target.dtype)
+        if mask_encoder_apply is not None and "mask_pixels" in batch:
+            mask_pixels = batch["mask_pixels"].astype(target.dtype)
+            mask = mask_encoder_apply(params["mask_encoder"], mask_pixels)
+            src = batch["source"]
+            source = src + mask * (noise - src)
+        else:
+            mask = None
+            source = noise
+        if use_ot:
+            idx = compute_ot_pairing_greedy(source, target)
+            target = target[idx]
+            if class_cond is not None:
+                class_cond = class_cond[idx]
+        t = jax.random.uniform(k_t, (B,), target.dtype) * (1 - eps) + eps
+        t = warp_time(t, s=warp_s)
+        x = _interp(source, target, t)
+        v_star = target - source
+        v = model_apply(params["model"], x, t * t_scale,
+                        {"class_cond": class_cond, "mask_cond": mask})
+        return jnp.mean((v - v_star) ** 2)
+
+    return jax.jit(eval_fn)

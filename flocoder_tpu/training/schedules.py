@@ -1,0 +1,44 @@
+"""Learning-rate schedules.
+
+``cosine_warm_restarts_decay`` reimplements the reference's
+``CosineAnnealingWarmRestartsDecay`` (flocoder/general.py:142-171): torch
+CosineAnnealingWarmRestarts stepped per EPOCH, whose base LR is multiplied by
+``decay`` at each warm restart. Here it is a pure optax-style
+``schedule(step) -> lr`` computed in closed form (jit-friendly, no Python
+state), parameterized by ``steps_per_epoch``."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["cosine_warm_restarts_decay"]
+
+
+def cosine_warm_restarts_decay(base_lr: float, T_0: int = 50, T_mult: int = 2,
+                               decay: float = 0.6, eta_min: float = 0.0,
+                               steps_per_epoch: int = 1):
+    """Returns ``schedule(count)`` where ``count`` is the optimizer step.
+
+    Cycle n spans ``T_0 * T_mult**n`` epochs; within a cycle,
+    ``lr = eta_min + (base_lr*decay**n - eta_min) * (1 + cos(pi*T_cur/T_i))/2``
+    (reference: general.py:149-171, torch CosineAnnealingWarmRestarts math).
+    """
+    if T_mult < 1:
+        raise ValueError("T_mult must be >= 1")
+
+    def schedule(count):
+        epoch = jnp.asarray(count, jnp.float32) / steps_per_epoch
+        if T_mult == 1:
+            n = jnp.floor(epoch / T_0)
+            t_cur = epoch - n * T_0
+            t_i = jnp.asarray(T_0, jnp.float32)
+        else:
+            # epochs before cycle n: T_0 (T_mult^n - 1)/(T_mult - 1)
+            ratio = epoch * (T_mult - 1) / T_0 + 1.0
+            n = jnp.floor(jnp.log(ratio) / jnp.log(float(T_mult)))
+            start = T_0 * (jnp.power(float(T_mult), n) - 1.0) / (T_mult - 1)
+            t_i = T_0 * jnp.power(float(T_mult), n)
+            t_cur = epoch - start
+        lr_max = base_lr * jnp.power(decay, n)
+        return eta_min + (lr_max - eta_min) * (1 + jnp.cos(jnp.pi * t_cur / t_i)) / 2
+
+    return schedule

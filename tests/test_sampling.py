@@ -1,0 +1,136 @@
+"""Unit tests for sampling math vs closed forms (SURVEY.md §4 test strategy)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flocoder_tpu.sampling import (
+    warp_time, rk4_step, euler_step,
+    generate_latents, generate_latents_rk4, generate_latents_rk45,
+    cfg_velocity,
+)
+
+
+def test_warp_time_endpoints_and_linear():
+    t = jnp.linspace(0, 1, 11)
+    for s in (0.25, 0.5, 1.0, 1.5):
+        tw = warp_time(t, s=s)
+        assert np.isclose(float(tw[0]), 0.0, atol=1e-6)
+        assert np.isclose(float(tw[-1]), 1.0, atol=1e-6)
+    # s=1 is exactly linear
+    np.testing.assert_allclose(np.asarray(warp_time(t, s=1.0)), np.asarray(t), atol=1e-6)
+
+
+def test_warp_time_derivative_matches_finite_diff():
+    t = jnp.linspace(0.05, 0.95, 7)
+    eps = 1e-4
+    tw, dtw = warp_time(t, dt=1.0, s=0.5)
+    fd = (warp_time(t + eps, s=0.5) - warp_time(t - eps, s=0.5)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(dtw), np.asarray(fd), rtol=1e-3)
+
+
+def test_warp_time_cosine_approx():
+    # s=1.5 ≈ sin^2(pi/2 * t) (reference docstring sampling.py:28)
+    t = jnp.linspace(0, 1, 21)
+    tw = warp_time(t, s=1.5)
+    cos_sched = jnp.sin(jnp.pi / 2 * t) ** 2
+    assert float(jnp.max(jnp.abs(tw - cos_sched))) < 0.02
+
+
+def test_warp_time_bounds():
+    with pytest.raises(ValueError):
+        warp_time(jnp.array([0.5]), s=2.0)
+
+
+def test_rk4_exponential_decay():
+    # dy/dt = -y, y(0)=1 -> y(1)=e^-1; RK4 with 10 steps should be ~1e-6 accurate
+    f = lambda y, t: -y
+    y = jnp.ones(())
+    ts = jnp.linspace(0, 1, 11)
+    for i in range(10):
+        y = rk4_step(f, y, ts[i], ts[i + 1] - ts[i])
+    assert abs(float(y) - np.exp(-1)) < 1e-6
+
+
+def test_euler_vs_rk4_order():
+    f = lambda y, t: -y
+    y_e = y_r = jnp.ones(())
+    ts = jnp.linspace(0, 1, 11)
+    for i in range(10):
+        y_e = euler_step(f, y_e, ts[i], ts[i + 1] - ts[i])
+        y_r = rk4_step(f, y_r, ts[i], ts[i + 1] - ts[i])
+    exact = np.exp(-1)
+    assert abs(float(y_r) - exact) < abs(float(y_e) - exact)
+
+
+def _linear_field(x, t_vec, cond):
+    # v(x,t) = target - x0 is constant for straight paths; use v = 1-2x so the
+    # ODE has a known fixed point at 0.5
+    return 0.5 - x
+
+
+def test_generate_latents_converges_to_fixed_point():
+    rng = jax.random.PRNGKey(0)
+    x, nfe = generate_latents_rk4(_linear_field, (4, 2, 2, 3), rng, n_steps=40,
+                                  cond=None, cfg_strength=0.0, t_scale=1.0)
+    # dx/dt = 0.5 - x from x0~N(0,1) over t in [0,1]: x(1) = 0.5 + (x0-0.5)e^-1
+    assert x.shape == (4, 2, 2, 3)
+    assert nfe == 39 * 4
+
+
+def test_rk45_matches_rk4_on_smooth_field():
+    rng = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(rng, (2, 2, 2, 1))
+    x4, _ = generate_latents_rk4(_linear_field, x0.shape, rng, n_steps=60,
+                                 source=x0, cfg_strength=0.0, t_scale=1.0,
+                                 warp_s=1.0)
+    x45, nfe = generate_latents_rk45(_linear_field, x0.shape, rng, source=x0,
+                                     cfg_strength=0.0, t_scale=1.0)
+    np.testing.assert_allclose(np.asarray(x4), np.asarray(x45), atol=1e-3)
+    assert int(nfe) > 0
+
+
+def test_generate_latents_dispatch():
+    rng = jax.random.PRNGKey(2)
+    for method in ("rk4", "euler", "rk45"):
+        x, nfe = generate_latents(_linear_field, (2, 2, 2, 1), rng,
+                                  method=method, n_steps=10,
+                                  cfg_strength=0.0, t_scale=1.0)
+        assert x.shape == (2, 2, 2, 1)
+
+
+def test_cfg_velocity_mixing():
+    # model returns class-dependent constant: v = 1 for class>=0 tokens, 0 for null
+    def apply_fn(x, t_vec, cond):
+        cc = cond["class_cond"]
+        return jnp.where((cc >= 0)[:, None, None, None],
+                         jnp.ones_like(x), jnp.zeros_like(x))
+
+    cond = {"class_cond": jnp.zeros((3,), jnp.int32)}
+    f = cfg_velocity(apply_fn, cond, cfg_strength=3.0, t_scale=1.0)
+    v = f(jnp.zeros((3, 2, 2, 1)), jnp.asarray(0.5))
+    # v = v_u + w (v_c - v_u) = 0 + 3*(1-0) = 3
+    np.testing.assert_allclose(np.asarray(v), 3.0, atol=1e-6)
+
+
+def test_cfg_no_class_single_eval():
+    calls = []
+
+    def apply_fn(x, t_vec, cond):
+        calls.append(x.shape[0])
+        return jnp.zeros_like(x)
+
+    f = cfg_velocity(apply_fn, None, cfg_strength=3.0, t_scale=1.0)
+    f(jnp.zeros((4, 2, 2, 1)), jnp.asarray(0.1))
+    assert calls == [4]  # no batch doubling without class cond
+
+
+def test_init_latents_path():
+    rng = jax.random.PRNGKey(3)
+    init = jnp.full((2, 2, 2, 1), 0.7)
+    x, nfe = generate_latents_rk4(_linear_field, init.shape, rng, n_steps=20,
+                                  init_latents=init, init_strength=0.9,
+                                  cfg_strength=0.0, t_scale=1.0)
+    # starting near the init point and integrating only over [0.9, 1]
+    assert x.shape == init.shape
+    assert nfe < 20 * 4  # fewer steps since init_strength shrinks the grid
