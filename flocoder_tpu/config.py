@@ -126,12 +126,37 @@ def _deep_merge(base: Config, incoming: Mapping) -> Config:
     return base
 
 
+_FLOAT_RE = __import__("re").compile(
+    r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _coerce_number(val: Any) -> Any:
+    """YAML 1.1 leaves '1e-4' as a string; OmegaConf (which the reference's
+    configs were written for) parses it as a float — match that."""
+    if isinstance(val, str) and _FLOAT_RE.match(val):
+        try:
+            return int(val)
+        except ValueError:
+            return float(val)
+    return val
+
+
+def _coerce_tree(node: Any) -> Any:
+    if isinstance(node, Mapping):
+        for k in list(node.keys()):
+            node[k] = _coerce_tree(node[k])
+        return node
+    if isinstance(node, list):
+        return [_coerce_tree(v) for v in node]
+    return _coerce_number(node)
+
+
 def _parse_value(text: str) -> Any:
     """Parse an override value with YAML semantics (ints, floats, bools, null, lists)."""
     if text == "~":
         return None
     try:
-        return yaml.safe_load(text)
+        return _coerce_tree(yaml.safe_load(text))
     except yaml.YAMLError:
         return text
 
@@ -155,7 +180,7 @@ def _load_yaml(path: str) -> Config:
         data = yaml.safe_load(f) or {}
     if not isinstance(data, Mapping):
         raise ValueError(f"Top level of {path} must be a mapping")
-    return Config(data)
+    return Config(_coerce_tree(dict(data)))
 
 
 def load_config(name: str, config_dir: str = "configs",

@@ -246,13 +246,17 @@ class Loader:
         if self.shuffle:
             rng.shuffle(order)
         n_batches = len(self)
-        pool = ThreadPoolExecutor(self.num_workers)
+        # Two pools: batch assemblers must never share workers with item
+        # loaders (same-pool nesting deadlocks when all workers hold batch
+        # tasks that wait on item futures).
+        item_pool = ThreadPoolExecutor(self.num_workers)
+        batch_pool = ThreadPoolExecutor(max(1, self.prefetch))
         try:
             def make_batch(b):
                 idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                 item_rngs = [np.random.default_rng(rng.integers(2 ** 31))
                              for _ in idxs]
-                items = list(pool.map(
+                items = list(item_pool.map(
                     lambda a: self.dataset.get(int(a[0]), a[1]),
                     zip(idxs, item_rngs)))
                 return self._assemble(items)
@@ -260,14 +264,15 @@ class Loader:
             pending: "queue.Queue" = queue.Queue()
             n_ahead = min(self.prefetch, n_batches)
             for b in range(n_ahead):
-                pending.put(pool.submit(make_batch, b))
+                pending.put(batch_pool.submit(make_batch, b))
             for b in range(n_batches):
                 fut = pending.get()
                 if b + n_ahead < n_batches:
-                    pending.put(pool.submit(make_batch, b + n_ahead))
+                    pending.put(batch_pool.submit(make_batch, b + n_ahead))
                 yield fut.result()
         finally:
-            pool.shutdown(wait=False, cancel_futures=True)
+            batch_pool.shutdown(wait=False, cancel_futures=True)
+            item_pool.shutdown(wait=False, cancel_futures=True)
 
 
 def create_image_loaders(batch_size: int, image_size: int, data_path: str,
@@ -311,3 +316,142 @@ def create_image_loaders(batch_size: int, image_size: int, data_path: str,
     val = Loader(_Subset(dataset, idx[:n_val]), batch_size, True,
                  num_workers, seed + 1)
     return train, val
+
+
+class PairDataset:
+    """Wraps a dataset to yield (src, cls, tgt, cls) pairs where src == tgt
+    (reference: data.py:120-143 — used when source and target are the same
+    image; kept for non-pre-encoded training parity)."""
+
+    def __init__(self, base):
+        self.base = base
+        self.n_classes = getattr(base, "n_classes", 0)
+
+    def __len__(self):
+        return len(self.base)
+
+    def get(self, i: int, rng: np.random.Generator):
+        img, label = self.base.get(i, rng)
+        return {"source": img, "target": img}, label
+
+
+class InfiniteDataset:
+    """Random-with-replacement sampler view over a dataset so each pass
+    re-randomizes the frozen augmentations (reference: data.py:287-307).
+    ``length`` controls the nominal epoch length."""
+
+    def __init__(self, base, length: Optional[int] = None, seed: int = 0):
+        self.base = base
+        self.length = length or len(base)
+        self.n_classes = getattr(base, "n_classes", 0)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return self.length
+
+    def get(self, i: int, rng: np.random.Generator):
+        j = int(rng.integers(0, len(self.base)))
+        return self.base.get(j, rng)
+
+
+class ColorAwareDataset:
+    """Rejection-samples toward color-diverse items: items whose red or blue
+    channel dominates are kept preferentially (reference: data.py:389-423,
+    the Flowers red/blue balance trick)."""
+
+    def __init__(self, base, max_tries: int = 8):
+        self.base = base
+        self.max_tries = max_tries
+        self.n_classes = getattr(base, "n_classes", 0)
+
+    def __len__(self):
+        return len(self.base)
+
+    @staticmethod
+    def _is_redblue(img: np.ndarray) -> bool:
+        if img.ndim != 3 or img.shape[-1] < 3:
+            return False
+        means = img.reshape(-1, img.shape[-1]).mean(axis=0)
+        return bool(means[0] > means[1] or means[2] > means[1])
+
+    def get(self, i: int, rng: np.random.Generator):
+        img, label = self.base.get(i, rng)
+        tries = 0
+        while not self._is_redblue(np.asarray(img)) and tries < self.max_tries:
+            j = int(rng.integers(0, len(self.base)))
+            img, label = self.base.get(j, rng)
+            tries += 1
+        return img, label
+
+
+class MIDIImageDataset:
+    """Piano-roll images converted from a local MIDI corpus (reference:
+    data.py:195-283 — which downloads the POP909 zip; with no network egress
+    here, point ``midi_dir`` at an existing corpus). Conversion runs once via
+    a thread pool into ``image_dir``; song-directory number splits train/val
+    like the reference (:266-275)."""
+
+    def __init__(self, midi_dir: str, image_dir: Optional[str] = None,
+                 split: str = "train", val_mod: int = 10,
+                 transform: Optional[Callable] = None,
+                 num_workers: int = 4):
+        from .pianoroll import midi_to_pr_img
+        self.midi_dir = os.path.expanduser(midi_dir)
+        self.image_dir = image_dir or self.midi_dir.rstrip("/") + "_images"
+        _, midis = fast_scandir(self.midi_dir, (".mid", ".midi"))
+        if not midis:
+            raise FileNotFoundError(f"no MIDI files under {self.midi_dir}")
+        if not os.path.isdir(self.image_dir) or not fast_scandir(
+                self.image_dir, IMG_EXTS)[1]:
+            os.makedirs(self.image_dir, exist_ok=True)
+            with ThreadPoolExecutor(num_workers) as pool:
+                list(pool.map(
+                    lambda m: midi_to_pr_img(m, self.image_dir), midis))
+        _, files = fast_scandir(self.image_dir, IMG_EXTS)
+
+        def song_num(f: str) -> int:
+            base = os.path.basename(os.path.dirname(f))
+            digits = "".join(c for c in base if c.isdigit()) or "0"
+            return int(digits)
+
+        if split == "val":
+            files = [f for f in files if song_num(f) % val_mod == 0]
+        else:
+            files = [f for f in files if song_num(f) % val_mod != 0]
+        self.files = files
+        self.transform = transform
+        self.n_classes = 0
+
+    def __len__(self):
+        return len(self.files)
+
+    def get(self, i: int, rng: np.random.Generator):
+        img = Image.open(self.files[i]).convert("RGB")
+        out = self.transform(img, rng) if self.transform else np.asarray(
+            img, np.float32) / 255.0
+        return out, np.int32(0)
+
+
+class InpaintingDataset:
+    """Yields {source_image, mask_pixels, target_image} per item: the target
+    image plus a generated mask and the masked image (reference:
+    inpainting.py:411-441). Pixel-space; the pre-encode pass turns these
+    into latent triplets."""
+
+    def __init__(self, base, mask_kwargs: Optional[dict] = None):
+        from ..inpainting import generate_mask
+        self._generate_mask = generate_mask
+        self.base = base
+        self.mask_kwargs = mask_kwargs or {}
+        self.n_classes = getattr(base, "n_classes", 0)
+
+    def __len__(self):
+        return len(self.base)
+
+    def get(self, i: int, rng: np.random.Generator):
+        img, label = self.base.get(i, rng)
+        img = np.asarray(img, np.float32)
+        mask = self._generate_mask(img.shape[:2], rng=rng,
+                                   **self.mask_kwargs)[..., None]
+        return {"target_latents": img, "source_latents": img * (1 - mask),
+                "mask_pixels": mask}, label

@@ -59,7 +59,8 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
     if cond.get("class_cond") is None and n_classes > 0:
         # class grid: 10 columns each a single class (reference: sampling.py:216-217)
         cols = jax.random.randint(k_cls, (10,), 0, n_classes)
-        cond["class_cond"] = jnp.tile(cols, max(batch_size // 10, 1))[:batch_size]
+        reps = -(-batch_size // 10)  # ceil, so every sample gets a class
+        cond["class_cond"] = jnp.tile(cols, reps)[:batch_size]
     elif cond.get("class_cond") is not None:
         cond["class_cond"] = cond["class_cond"][:batch_size]
     if cond.get("mask_cond") is not None:

@@ -1,0 +1,137 @@
+"""Pallas TPU kernel for 2-D neighborhood attention (the NATTEN replacement).
+
+This is the centerpiece custom kernel named by BASELINE.json's north star
+(SURVEY.md §2c). Strategy, sized for where the codec actually runs
+neighborhood attention (32² and 16² feature maps, codecs.py:416-431):
+
+- The spatial grid is tiled by ROW BANDS: each program owns a (TILE_H × W)
+  block of queries for one (batch·head) slice and loads the K/V row halo
+  [row_start, row_start + TILE_H + ks − 1) via a dynamic slice (K/V stay
+  resident per program; at these resolutions a full head slice fits VMEM).
+- Attention is computed as two dense MXU matmuls — scores
+  (TILE_H·W, KH·W) = Q Kᵀ and out = softmax(scores)·V — with the clamped k×k
+  window enforced by a broadcasted-iota mask. Dense-with-mask wastes
+  (TILE_H+ks−1)·W / ks² key-FLOPs versus a gather formulation but keeps the
+  MXU saturated instead of scattering through HBM; at W≤32 that trade wins.
+- Borders use NATTEN's clamped-window semantics: every query attends to
+  exactly ks×ks keys, windows slide inward at edges (verified against the
+  gather oracle in tests/test_neighborhood_attention.py).
+
+Backward: a custom VJP re-expresses the op with the XLA gather reference
+implementation (ops.neighborhood_attention.na2d_reference) and differentiates
+that — correct gradients everywhere while the hand-written bwd kernel is
+pending. Forward-only paths (pre-encode, sampling-time decode) never pay the
+gather cost.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["na2d_pallas"]
+
+
+def _na2d_kernel(q_ref, k_ref, v_ref, o_ref, *, ks: int, H: int, W: int,
+                 dh: int, tile_h: int, scale: float):
+    rt = pl.program_id(1)
+    r0 = rt * tile_h
+    KH = min(tile_h + ks - 1, H)
+    row_start = jnp.clip(r0 - ks // 2, 0, H - KH)
+
+    q = q_ref[0].reshape(tile_h * W, dh) * scale
+    k = k_ref[0, pl.ds(row_start, KH)].reshape(KH * W, dh)
+    v = v_ref[0, pl.ds(row_start, KH)].reshape(KH * W, dh)
+
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+
+    nq, nk = tile_h * W, KH * W
+    qi = r0 + jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0) // W
+    qj = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0) % W
+    ki = row_start + jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1) // W
+    kj = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1) % W
+    rs = jnp.clip(qi - ks // 2, 0, H - ks)
+    cs = jnp.clip(qj - ks // 2, 0, W - ks)
+    valid = ((ki >= rs) & (ki < rs + ks) & (kj >= cs) & (kj < cs + ks))
+
+    scores = jnp.where(valid, scores, -jnp.inf)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.dot(probs.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32)
+    o_ref[0] = out.reshape(tile_h, W, dh).astype(o_ref.dtype)
+
+
+def _pick_tile_h(H: int) -> int:
+    for t in (8, 4, 2, 1):
+        if H % t == 0:
+            return t
+    return 1
+
+
+def _na2d_fwd_impl(q, k, v, kernel_size: int, heads: int, scale: float):
+    B, H, W, C = q.shape
+    dh = C // heads
+    ks = min(kernel_size, H, W)
+    tile_h = _pick_tile_h(H)
+
+    def to_heads(x):
+        # (B,H,W,C) → (B*heads, H, W, dh)
+        x = x.reshape(B, H, W, heads, dh)
+        return x.transpose(0, 3, 1, 2, 4).reshape(B * heads, H, W, dh)
+
+    qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+
+    kernel = functools.partial(_na2d_kernel, ks=ks, H=H, W=W, dh=dh,
+                               tile_h=tile_h, scale=scale)
+    grid = (B * heads, H // tile_h)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_h, W, dh), lambda bh, rt: (bh, rt, 0, 0)),
+            pl.BlockSpec((1, H, W, dh), lambda bh, rt: (bh, 0, 0, 0)),
+            pl.BlockSpec((1, H, W, dh), lambda bh, rt: (bh, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, W, dh),
+                               lambda bh, rt: (bh, rt, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * heads, H, W, dh), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qh, kh, vh)
+
+    out = out.reshape(B, heads, H, W, dh).transpose(0, 2, 3, 1, 4)
+    return out.reshape(B, H, W, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def na2d_pallas(q, k, v, kernel_size: int = 7, heads: int = 8,
+                scale: Optional[float] = None):
+    """Neighborhood attention, Pallas forward. NHWC in/out; C = heads·dh."""
+    if scale is None:
+        scale = (q.shape[-1] // heads) ** -0.5
+    return _na2d_fwd_impl(q, k, v, kernel_size, heads, scale)
+
+
+def _fwd(q, k, v, kernel_size, heads, scale):
+    if scale is None:
+        scale = (q.shape[-1] // heads) ** -0.5
+    return _na2d_fwd_impl(q, k, v, kernel_size, heads, scale), (q, k, v)
+
+
+def _bwd(kernel_size, heads, scale, residuals, g):
+    from ..neighborhood_attention import na2d_reference
+    q, k, v = residuals
+    if scale is None:
+        scale = (q.shape[-1] // heads) ** -0.5
+    _, vjp = jax.vjp(
+        lambda q, k, v: na2d_reference(q, k, v, kernel_size=kernel_size,
+                                       heads=heads, scale=scale), q, k, v)
+    return vjp(g)
+
+
+na2d_pallas.defvjp(_fwd, _bwd)

@@ -1,0 +1,197 @@
+"""VQGAN codec training: jitted two-phase (warmup → GAN) steps.
+
+Reference hot loop: train_vqgan.py:170-268 — warmup phase trains
+reconstruction-only (:194-210); the GAN phase alternates a discriminator step
+(hinge loss, separate Adam at lr·0.001, :142-143, :220-233) with a generator
+step whose loss adds `lambda_gen`·(non-saturating hinge + feature matching)
+(:236-246); gradients clipped at 1.0 throughout.
+
+TPU-first: each phase is ONE jitted function — generator fwd (encoder → RVQ →
+decoder), all losses, both optimizers, the RVQ EMA codebook fold and the
+spectral-norm power iterations run inside the same XLA executable. Warmup vs
+GAN are two compiled variants selected on the host per epoch (no traced
+branching on epoch). RVQ cluster statistics psum over the 'data' axis when
+the step runs under shard_map (axis_name plumbed through).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..metrics import (compute_vqgan_losses, get_total_vqgan_loss,
+                       hinge_d_loss, feature_matching_loss)
+
+__all__ = ["VQGANState", "create_vqgan_state", "make_vqgan_optimizers",
+           "make_vqgan_warmup_step", "make_vqgan_gan_step",
+           "make_vqgan_eval_step"]
+
+
+@struct.dataclass
+class VQGANState:
+    params: Any        # {'encoder', 'decoder', 'vq': RVQState}
+    opt_g: Any
+    disc_vars: Any     # {'params': ..., 'batch_stats': ...} or None
+    opt_d: Any
+    step: jax.Array
+
+
+def make_vqgan_optimizers(learning_rate: float, d_lr_scale: float = 1e-3,
+                          grad_clip: float = 1.0):
+    """Generator Adam + discriminator Adam at lr·d_lr_scale
+    (reference: train_vqgan.py:141-143)."""
+    tx_g = optax.chain(optax.clip_by_global_norm(grad_clip),
+                       optax.adam(learning_rate))
+    tx_d = optax.chain(optax.clip_by_global_norm(grad_clip),
+                       optax.adam(learning_rate * d_lr_scale))
+    return tx_g, tx_d
+
+
+def _g_trainable(params: dict) -> dict:
+    """Encoder+decoder leaves get gradients; the RVQ state updates via EMA,
+    not the optimizer."""
+    return {"encoder": params["encoder"], "decoder": params["decoder"]}
+
+
+def create_vqgan_state(params: dict, tx_g, disc_vars=None, tx_d=None
+                       ) -> VQGANState:
+    return VQGANState(
+        params=params, opt_g=tx_g.init(_g_trainable(params)),
+        disc_vars=disc_vars,
+        opt_d=(tx_d.init(disc_vars["params"]) if disc_vars is not None
+               else None),
+        step=jnp.zeros((), jnp.int32))
+
+
+def _generator_loss_fn(codec, config, perceptual_fn, disc_apply,
+                       use_gan: bool, axis_name):
+    def loss_fn(g_params, vq_state, disc_vars, batch, rng):
+        params = {**g_params, "vq": vq_state}
+        recon, commit_loss, idx, new_vq = codec.forward(
+            params, batch, train=True, rng=rng, axis_name=axis_name)
+        disc_fn = None
+        disc_params = None
+        if use_gan and disc_vars is not None:
+            def disc_fn(dv, x):
+                return _disc_apply_frozen(disc_apply, dv, x)
+            disc_params = disc_vars
+        losses = compute_vqgan_losses(
+            recon, batch, commit_loss, config, perceptual_fn=perceptual_fn,
+            disc_apply=disc_fn, disc_params=disc_params, warmed_up=use_gan)
+        total = get_total_vqgan_loss(losses, config)
+        return total, (losses, recon, idx, new_vq)
+    return loss_fn
+
+
+def _disc_apply_frozen(disc_apply, disc_vars, x):
+    """Discriminator forward without stat updates (generator's view)."""
+    return disc_apply(disc_vars, x)
+
+
+def make_vqgan_warmup_step(codec, tx_g, config,
+                           perceptual_fn: Optional[Callable] = None,
+                           axis_name: Optional[str] = None,
+                           donate: Optional[bool] = None):
+    """Reconstruction-only phase (reference: train_vqgan.py:194-210)."""
+    if donate is None:
+        donate = jax.default_backend() != "cpu"
+    loss_fn = _generator_loss_fn(codec, config, perceptual_fn, None,
+                                 use_gan=False, axis_name=axis_name)
+
+    def step_fn(state: VQGANState, batch, rng):
+        (total, (losses, recon, idx, new_vq)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(_g_trainable(state.params),
+                                   state.params["vq"], None, batch, rng)
+        updates, opt_g = tx_g.update(grads, state.opt_g,
+                                     _g_trainable(state.params))
+        g_new = optax.apply_updates(_g_trainable(state.params), updates)
+        params = {**g_new, "vq": new_vq}
+        new_state = VQGANState(params=params, opt_g=opt_g,
+                               disc_vars=state.disc_vars, opt_d=state.opt_d,
+                               step=state.step + 1)
+        aux = {k: v for k, v in losses.items()}
+        aux["total"] = total
+        return new_state, aux, idx
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
+                        tx_d, config,
+                        perceptual_fn: Optional[Callable] = None,
+                        axis_name: Optional[str] = None,
+                        donate: Optional[bool] = None):
+    """GAN phase: D step then G step in one executable
+    (reference: train_vqgan.py:213-246).
+
+    ``disc_apply_train(vars, x) -> ((logits, feats), new_vars)`` advances the
+    spectral-norm power iteration; ``disc_apply_eval(vars, x) -> (logits,
+    feats)`` does not.
+    """
+    if donate is None:
+        donate = jax.default_backend() != "cpu"
+
+    def step_fn(state: VQGANState, batch, rng):
+        k_g, k_d, k_fake = jax.random.split(rng, 3)
+
+        # ---- D step (reference: train_vqgan.py:220-233) -------------------
+        params = state.params
+        fake, _, _, _ = codec.forward(params, batch, train=True, rng=k_fake,
+                                      axis_name=axis_name)
+        fake = jax.lax.stop_gradient(fake)
+
+        def d_loss_fn(d_params):
+            dv = {**state.disc_vars, "params": d_params}
+            (real_pred, _), new_vars = disc_apply_train(dv, batch)
+            (fake_pred, _), new_vars = disc_apply_train(new_vars | {
+                "params": d_params}, fake)
+            return hinge_d_loss(real_pred, fake_pred), new_vars
+
+        (d_loss, new_disc_vars), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.disc_vars["params"])
+        d_updates, opt_d = tx_d.update(d_grads, state.opt_d,
+                                       state.disc_vars["params"])
+        d_params_new = optax.apply_updates(state.disc_vars["params"],
+                                           d_updates)
+        disc_vars = {**new_disc_vars, "params": d_params_new}
+
+        # ---- G step (reference: train_vqgan.py:236-246) -------------------
+        loss_fn = _generator_loss_fn(
+            codec, config, perceptual_fn,
+            lambda dv, x: disc_apply_eval(dv, x), use_gan=True,
+            axis_name=axis_name)
+        (total, (losses, recon, idx, new_vq)), g_grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(_g_trainable(params), params["vq"],
+                                   disc_vars, batch, k_g)
+        g_updates, opt_g = tx_g.update(g_grads, state.opt_g,
+                                       _g_trainable(params))
+        g_new = optax.apply_updates(_g_trainable(params), g_updates)
+
+        new_state = VQGANState(params={**g_new, "vq": new_vq}, opt_g=opt_g,
+                               disc_vars=disc_vars, opt_d=opt_d,
+                               step=state.step + 1)
+        aux = {k: v for k, v in losses.items()}
+        aux["total"] = total
+        aux["d_loss"] = d_loss
+        return new_state, aux, idx
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_vqgan_eval_step(codec, config,
+                         perceptual_fn: Optional[Callable] = None):
+    """Validation reconstruction + losses, deterministic
+    (reference: train_vqgan.py:274-327)."""
+
+    @jax.jit
+    def eval_fn(params, batch):
+        recon, commit_loss, idx, _ = codec.forward(params, batch, train=False)
+        losses = compute_vqgan_losses(recon, batch, commit_loss, config,
+                                      perceptual_fn=perceptual_fn)
+        losses["total"] = get_total_vqgan_loss(losses, config)
+        return recon, losses, idx
+
+    return eval_fn

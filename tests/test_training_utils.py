@@ -1,0 +1,144 @@
+"""Checkpoint, schedule, EMA, inpainting, metrics unit tests."""
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flocoder_tpu.training.checkpoint import (flatten_tree, unflatten_tree,
+                                              save_checkpoint, load_checkpoint,
+                                              load_into_tree,
+                                              keep_recent_files,
+                                              latest_checkpoint)
+from flocoder_tpu.training.schedules import cosine_warm_restarts_decay
+from flocoder_tpu.training.ema import ema_init, ema_update
+from flocoder_tpu.config import Config
+
+
+def test_flatten_unflatten_roundtrip():
+    tree = {"a": {"b": np.ones((2, 3)), "c": np.zeros(4)}, "d": np.arange(5)}
+    flat = flatten_tree(tree)
+    assert set(flat) == {"a/b", "a/c", "d"}
+    back = unflatten_tree(flat)
+    np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
+
+
+def test_checkpoint_rotation(tmp_path):
+    params = {"w": np.ones((3,))}
+    for e in range(1, 8):
+        save_checkpoint(params, epoch=e, ckpt_dir=str(tmp_path),
+                        prefix="t_", keep=3)
+    files = sorted(os.listdir(tmp_path))
+    assert len(files) == 3
+    assert latest_checkpoint(str(tmp_path), "t_").endswith("t_7.npz")
+
+
+def test_checkpoint_config_embedded(tmp_path):
+    cfg = Config({"flow": {"lr": 0.1}, "name": "x"})
+    p = save_checkpoint({"w": np.ones(2)}, epoch=1, ckpt_dir=str(tmp_path),
+                        config=cfg)
+    ck = load_checkpoint(p)
+    assert ck["config"].flow.lr == 0.1
+    assert ck["epoch"] == 1
+
+
+def test_load_into_tree_strict_and_partial():
+    template = {"a": np.zeros((2,)), "b": {"c": np.zeros((3,))}}
+    state = {"a": np.ones((2,)), "b/c": np.full((3,), 2.0)}
+    restored = load_into_tree(template, state, strict=True)
+    np.testing.assert_array_equal(restored["a"], 1.0)
+    partial = load_into_tree(template, {"a": np.ones((2,))}, strict=False)
+    np.testing.assert_array_equal(partial["b"]["c"], 0.0)
+    with pytest.raises(KeyError):
+        load_into_tree(template, {"a": np.ones((2,))}, strict=True)
+
+
+def test_cosine_warm_restart_decay_schedule():
+    s = cosine_warm_restarts_decay(1.0, T_0=10, T_mult=2, decay=0.5,
+                                   steps_per_epoch=1)
+    assert abs(float(s(0)) - 1.0) < 1e-6          # start of cycle 0
+    assert float(s(9)) < 0.05                     # near end of cycle 0
+    assert abs(float(s(10)) - 0.5) < 1e-6         # restart with decayed peak
+    assert abs(float(s(30)) - 0.25) < 1e-6        # second restart (10+20)
+    # monotone decrease within a cycle
+    vals = [float(s(i)) for i in range(10, 30)]
+    assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_ema_update_converges():
+    p = {"w": jnp.zeros(3)}
+    ema = ema_init(p)
+    target = {"w": jnp.ones(3)}
+    for _ in range(100):
+        ema = ema_update(ema, target, decay=0.9)
+    assert float(jnp.abs(ema["w"] - 1.0).max()) < 1e-4
+
+
+def test_mask_generators():
+    from flocoder_tpu.inpainting import generate_mask, generate_mask_batch
+    rng = np.random.default_rng(0)
+    for mt in ("total", "brush", "rectangles", "noise", "nothing"):
+        m = generate_mask((64, 64), mask_type=mt, rng=rng)
+        assert m.shape == (64, 64)
+        assert set(np.unique(m)).issubset({0.0, 1.0})
+    assert generate_mask((32, 32), "total", rng=rng).min() == 1.0
+    assert generate_mask((32, 32), "nothing", rng=rng).max() == 0.0
+    b = generate_mask_batch((32, 32), batch_size=3, seed=1)
+    assert b.shape == (3, 32, 32, 1)
+
+
+def test_mask_encoder_shapes():
+    from flocoder_tpu.inpainting import MaskEncoder, mask_blending
+    me = MaskEncoder(output_channels=4)
+    m = jnp.ones((2, 64, 64, 1))
+    params = me.init(jax.random.PRNGKey(0), m)
+    out = me.apply(params, m)
+    assert out.shape == (2, 4, 4, 4)   # 64 / 16
+    # channel 0 = doubly shrunk raw mask: all-ones in → ones out
+    np.testing.assert_allclose(np.asarray(out[..., 0]), 1.0, atol=1e-6)
+    src = jnp.zeros((2, 4, 4, 4))
+    noise = jnp.ones_like(src)
+    blended = mask_blending(src, out, noise)
+    assert blended.shape == src.shape
+
+
+def test_metrics_basics():
+    from flocoder_tpu.metrics import (focal_loss, to_uint8, g2rgb, rgb2g,
+                                      normalize_recon, spectral_loss,
+                                      hinge_d_loss)
+    logits = jnp.array([[10.0, -10.0]])
+    labels = jnp.array([[1.0, 0.0]])
+    assert float(focal_loss(logits, labels)) < 1e-3
+    x = jnp.stack([jnp.zeros((4, 4, 3)), jnp.ones((4, 4, 3))]) * 2 - 1
+    u = to_uint8(x)
+    assert u.dtype == jnp.uint8
+    g = jnp.zeros((1, 4, 4, 1)).at[0, 1, 1, 0].set(1.0)
+    rgb = g2rgb(g)
+    assert rgb.shape == (1, 4, 4, 3)
+    assert float(rgb[0, 1, 1, 0]) == 1.0  # 1.0 → red
+    back = rgb2g(rgb)
+    assert float(back[0, 1, 1, 0]) == 1.0
+    assert float(hinge_d_loss(jnp.ones(3) * 2, -jnp.ones(3) * 2)) == 0.0
+    orig = jnp.ones((2, 4, 4, 3)) * 3
+    recon = jnp.ones((2, 4, 4, 3))
+    nr = normalize_recon(orig, recon)
+    assert nr.shape == recon.shape
+
+
+def test_fid_properties():
+    from flocoder_tpu.ops.fid import fid_score, sqrtm_newton_schulz
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(64, 8, 8, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(64, 8, 8, 3)).astype(np.float32))
+    shifted = a + 2.0
+    d_same = float(fid_score(a, b))
+    d_diff = float(fid_score(a, shifted))
+    assert d_diff > d_same
+    # sqrtm: A = M Mᵀ PSD, sqrt(A)² ≈ A
+    M = rng.normal(size=(16, 16)).astype(np.float32)
+    A = jnp.asarray(M @ M.T)
+    S = sqrtm_newton_schulz(A)
+    np.testing.assert_allclose(np.asarray(S @ S), np.asarray(A), atol=1e-2,
+                               rtol=1e-2)

@@ -1,0 +1,233 @@
+#!/usr/bin/env python3
+"""Train a latent flow-matching model (reference: train_flow.py).
+
+Usage (reference CLI surface, README.md:91-120):
+    ./train_flow.py --config-name flowers_sd.yaml [key=value ...]
+
+The hot loop is one jitted XLA executable per step (fwd+bwd+OT+EMA+Adam, see
+flocoder_tpu/training/flow.py); this script is the thin host driver: data
+feeding, eval cadence, checkpoints, logging — the reference's linear-execution
+ethos (StyleGuide.md §2), no trainer classes.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def train_flow(config):
+    import jax
+    import jax.numpy as jnp
+    from flocoder_tpu.config import ldcfg
+    from flocoder_tpu.data.datasets import PreEncodedDataset, Loader, create_image_loaders
+    from flocoder_tpu.evaluation import evaluate_model
+    from flocoder_tpu.inpainting import MaskEncoder
+    from flocoder_tpu.models.codecs import setup_codec
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.parallel.mesh import make_mesh, shard_batch, maybe_init_distributed
+    from flocoder_tpu.training.checkpoint import (save_checkpoint,
+                                                  load_checkpoint,
+                                                  load_into_tree,
+                                                  latest_checkpoint,
+                                                  keep_recent_files)
+    from flocoder_tpu.training.flow import (create_flow_state,
+                                            make_flow_optimizer,
+                                            make_flow_train_step,
+                                            make_flow_eval_step, FlowState)
+    from flocoder_tpu.training.schedules import cosine_warm_restarts_decay
+    from flocoder_tpu.utils import logging as wblog
+    from flocoder_tpu.utils.codebook_analysis import CodebookUsageTracker
+
+    maybe_init_distributed()
+    mesh = make_mesh()
+    print(f"train_flow: mesh = {mesh}, backend = {jax.default_backend()}")
+
+    # ---- config -----------------------------------------------------------
+    data_path = os.path.expanduser(config.data)
+    if "encoded" not in data_path:
+        data_path = f"{data_path}_encoded_{config.codec.choice}"
+    batch_size = int(ldcfg(config, "batch_size", 256))
+    n_classes = int(ldcfg(config, "n_classes", 0))
+    learning_rate = float(ldcfg(config, "learning_rate", 1e-4))
+    epochs = int(ldcfg(config, "epochs", 100))
+    no_wandb = bool(ldcfg(config, "no_wandb", False))
+    dim_mults = tuple(ldcfg(config, "dim_mults", [1, 2, 4, 8]))
+    n_steps_eval = int(ldcfg(config, "n_steps", 100))
+    cfg_strength = float(ldcfg(config, "cfg_strength", 3.0))
+    is_midi = any(s in data_path.lower() for s in ("pop909", "midi"))
+    keep_gray = int(ldcfg(config, "in_channels", 3)) == 1
+    seed = int(ldcfg(config, "seed", 0))
+
+    # ---- data -------------------------------------------------------------
+    train_ds = PreEncodedDataset(f"{data_path}/train", n_classes=n_classes)
+    val_ds = PreEncodedDataset(f"{data_path}/val", n_classes=n_classes)
+    num_workers = int(ldcfg(config, "num_workers", 4))
+    train_loader = Loader(train_ds, batch_size, shuffle=True,
+                          num_workers=num_workers, seed=seed)
+    val_loader = Loader(val_ds, batch_size, shuffle=True,
+                        num_workers=num_workers, seed=seed + 1)
+
+    batch0 = next(iter(train_loader))
+    sample = batch0["target"][0]
+    H, W, C = sample.shape
+    latent_shape = (H, W, C)
+    inpainting = "mask_pixels" in batch0
+    print(f"latent shape HWC = {latent_shape}, inpainting = {inpainting}, "
+          f"n_batches/epoch = {len(train_loader)}")
+
+    output_dir = f"output_{os.path.basename(data_path)}-{H}x{W}"
+    os.makedirs(output_dir, exist_ok=True)
+
+    # ---- codec (frozen, for eval decode) ----------------------------------
+    codec = setup_codec(config)
+    rng = jax.random.PRNGKey(seed)
+    rng, k_codec = jax.random.split(rng)
+    codec_params = codec.init(k_codec, jnp.zeros(
+        (1, int(ldcfg(config, "image_size", 128)),
+         int(ldcfg(config, "image_size", 128)), codec.in_channels)))
+    codec_ckpt = ldcfg(config, "codec_checkpoint", None) or (
+        config.codec.get("checkpoint") if "codec" in config else None)
+    if codec_ckpt and os.path.exists(str(codec_ckpt)):
+        ck = load_checkpoint(str(codec_ckpt))
+        codec_params = load_into_tree(codec_params, _flat(ck), strict=False)
+        print(f"loaded codec checkpoint {codec_ckpt}")
+
+    # ---- model ------------------------------------------------------------
+    model = Unet(dim=H, channels=C, dim_mults=dim_mults, n_classes=n_classes,
+                 mask_cond=inpainting)
+    rng, k_model = jax.random.split(rng)
+    cond0 = {"class_cond": jnp.zeros((2,), jnp.int32),
+             "mask_cond": (jnp.zeros((2, H, W, C)) if inpainting else None)}
+    params = {"model": model.init(k_model, jnp.zeros((2, H, W, C)),
+                                  jnp.zeros((2,)), cond0)}
+    mask_encoder = None
+    mask_encoder_apply = None
+    if inpainting:
+        mask_encoder = MaskEncoder(output_channels=C)
+        rng, k_me = jax.random.split(rng)
+        params["mask_encoder"] = mask_encoder.init(
+            k_me, jnp.asarray(batch0["mask_pixels"][:2]))
+        mask_encoder_apply = lambda p, m: mask_encoder.apply(p, m)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"model params: {n_params/1e6:.2f}M")
+
+    # ---- optimizer / state ------------------------------------------------
+    sched = cosine_warm_restarts_decay(
+        learning_rate, T_0=int(ldcfg(config, "lr_T0", 50)),
+        T_mult=int(ldcfg(config, "lr_Tmult", 2)),
+        decay=float(ldcfg(config, "lr_decay", 0.6)),
+        steps_per_epoch=max(len(train_loader), 1))
+    tx = make_flow_optimizer(sched, mask_encoder=inpainting)
+    state = create_flow_state(params, tx)
+
+    model_apply = lambda p, x, t, c: model.apply(p, x, t, c)
+    train_step = make_flow_train_step(
+        model_apply, tx, mask_encoder_apply=mask_encoder_apply,
+        ema_decay=float(ldcfg(config, "ema_decay", 0.999)))
+    eval_step = make_flow_eval_step(model_apply,
+                                    mask_encoder_apply=mask_encoder_apply)
+
+    use_wandb = not no_wandb
+    if use_wandb:
+        wblog.init(project=str(ldcfg(config, "project_name", "flocoder-flow")),
+                   name=ldcfg(config, "run_name", None),
+                   config=dict(config))
+
+    cb_tracker = CodebookUsageTracker(
+        num_levels=int(ldcfg(config, "codebook_levels", 4)),
+        codebook_size=int(ldcfg(config, "vq_num_embeddings", 32)))
+    codec_quantize = None
+    if hasattr(codec, "quantize"):
+        codec_quantize = jax.jit(lambda z: codec.quantize(codec_params, z))
+
+    # ---- training loop ----------------------------------------------------
+    key = jax.random.PRNGKey(seed + 1)
+    t_start = time.time()
+    for epoch in range(1, epochs + 1):
+        ep_losses = []
+        t_ep = time.time()
+        for batch in train_loader:
+            key, k = jax.random.split(key)
+            state, aux = train_step(state, shard_batch(mesh, batch), k)
+            ep_losses.append(aux["loss"])
+        # one device sync per epoch, not per step
+        ep_losses = [float(x) for x in ep_losses]
+        steps_per_sec = len(ep_losses) / max(time.time() - t_ep, 1e-9)
+        mean_loss = float(np.mean(ep_losses)) if ep_losses else float("nan")
+        lr_now = float(sched(int(state.step)))
+        print(f"epoch {epoch}/{epochs}  loss {mean_loss:.4f}  "
+              f"lr {lr_now:.2e}  {steps_per_sec:.2f} it/s  "
+              f"({steps_per_sec * batch_size:.0f} samples/s)")
+        if use_wandb:
+            wblog.log({"Loss/train": mean_loss, "Learning Rate": lr_now,
+                       "epoch": epoch, "samples_per_sec":
+                       steps_per_sec * batch_size})
+
+        # ---- eval cadence (reference: train_flow.py:400) ------------------
+        if (epoch < 20) or (epoch % 10 == 0):
+            vb = next(iter(val_loader))
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            val_loss = float(eval_step(state.params, shard_batch(mesh, vb), k1))
+            print(f"  val loss {val_loss:.4f}")
+            if use_wandb:
+                wblog.log({"Loss/val": val_loss, "epoch": epoch})
+
+            eval_kwargs = dict(
+                codec=codec, codec_params=codec_params, epoch=epoch,
+                target_latents=jnp.asarray(vb["target"]),
+                cond={"class_cond": jnp.asarray(vb["class_cond"]),
+                      "mask_cond": None},
+                batch_size=min(batch_size, 256), n_classes=n_classes,
+                method="rk4", n_steps=n_steps_eval,
+                cfg_strength=cfg_strength, is_midi=is_midi,
+                keep_gray=keep_gray, cb_tracker=cb_tracker,
+                codec_quantize=codec_quantize, use_wandb=use_wandb,
+                output_dir=output_dir)
+            metrics = evaluate_model(
+                lambda x, t, c: model.apply(state.params["model"], x, t, c),
+                rng=k2, tag="", **eval_kwargs)
+            print(f"  metrics: FID_px {metrics['FID_px']:.2f}  "
+                  f"sinkhorn {metrics['sinkhorn']:.4f}")
+            if epoch > 5 and epoch % 2 == 0:  # EMA eval (train_flow.py:431)
+                evaluate_model(
+                    lambda x, t, c: model.apply(state.ema["model"], x, t, c),
+                    rng=k3, tag="ema_", **eval_kwargs)
+            if epoch % 2 == 0:
+                cb_tracker.reset_all()
+
+        # ---- checkpoints (reference: train_flow.py:441-447) ---------------
+        if epoch % int(ldcfg(config, "ckpt_every", 25)) == 0:
+            save_checkpoint(state.params, epoch=epoch, ckpt_dir="checkpoints",
+                            prefix="flow_", opt_state=state.opt_state,
+                            config=config, keep=5)
+            save_checkpoint(state.ema, epoch=epoch, ckpt_dir="checkpoints",
+                            prefix="flowema_", config=config, keep=5)
+            keep_recent_files(100, directory=output_dir, pattern="*.png")
+
+    print(f"done in {time.time()-t_start:.0f}s")
+    if use_wandb:
+        wblog.finish()
+    return state
+
+
+def _flat(ck: dict) -> dict:
+    from flocoder_tpu.training.checkpoint import flatten_tree
+    return flatten_tree(ck["model_state_dict"])
+
+
+def main():
+    from flocoder_tpu.config import parse_cli
+    config = parse_cli(default_config=None,
+                       config_dir=os.path.join(os.path.dirname(
+                           os.path.abspath(__file__)), "configs"))
+    print("Config:", dict(config))
+    train_flow(config)
+
+
+if __name__ == "__main__":
+    main()
