@@ -271,16 +271,23 @@ def ldcfg(config: Mapping, key: str, default: Any = None, verbose: bool = False)
     Unlike the reference, the default is always honored."""
     search_order = ["flow", "flow.unet", "preencoding", "codec"]
     cfg = config if isinstance(config, Config) else Config(config)
+    # Accept hyphenated variants of the key: the reference's midi configs use
+    # 'commitment-weight' which silently never matched (SURVEY.md §5.6);
+    # here hyphen/underscore spellings are interchangeable.
+    keys = (key, key.replace("_", "-")) if "_" in key else (key,)
     for section in search_order:
         node = cfg.select(section)
-        if isinstance(node, Mapping) and key in node:
+        if isinstance(node, Mapping):
+            for k in keys:
+                if k in node:
+                    if verbose:
+                        print(f"ldcfg: found '{k}' in '{section}': {node[k]}")
+                    return node[k]
+    for k in keys:
+        if k in cfg:
             if verbose:
-                print(f"ldcfg: found '{key}' in '{section}': {node[key]}")
-            return node[key]
-    if key in cfg:
-        if verbose:
-            print(f"ldcfg: found '{key}' at root: {cfg[key]}")
-        return cfg[key]
+                print(f"ldcfg: found '{k}' at root: {cfg[k]}")
+            return cfg[k]
     if verbose:
         print(f"ldcfg: '{key}' not found, using default: {default}")
     return default

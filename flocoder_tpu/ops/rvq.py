@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import struct
 
 __all__ = ["RVQState", "rvq_init", "rvq_apply", "rvq_encode", "rvq_decode",
-           "rvq_lookup"]
+           "rvq_lookup", "orthogonal_reg_loss"]
 
 
 @struct.dataclass
@@ -110,10 +110,24 @@ def _quantize_level(z: jax.Array, cb: jax.Array, rotation_trick: bool):
     return q_out, q, idx
 
 
+def orthogonal_reg_loss(codebooks: jax.Array) -> jax.Array:
+    """Codebook orthogonality penalty ‖ĈĈᵀ − I‖²/K² on L2-normalized codes,
+    averaged over levels (the reference configures
+    ``orthogonal_reg_weight=0.2`` on its ResidualVQ, codecs.py:466)."""
+    L, K, D = codebooks.shape
+    cb = codebooks / jnp.maximum(
+        jnp.linalg.norm(codebooks, axis=-1, keepdims=True), 1e-8)
+    gram = jnp.einsum("lkd,ljd->lkj", cb, cb,
+                      preferred_element_type=jnp.float32)
+    eye = jnp.eye(K, dtype=gram.dtype)[None]
+    return jnp.mean(jnp.sum((gram - eye) ** 2, axis=(1, 2)) / (K * K))
+
+
 def rvq_apply(state: RVQState, z: jax.Array, train: bool = False,
               rng: Optional[jax.Array] = None, decay: float = 0.95,
               commitment_weight: float = 0.5, dead_threshold: float = 2.0,
               rotation_trick: bool = True, axis_name: Optional[str] = None,
+              orthogonal_reg_weight: float = 0.0,
               ) -> Tuple[jax.Array, jax.Array, jax.Array, RVQState]:
     """Quantize flat tokens ``z`` (N, D).
 
@@ -189,6 +203,10 @@ def rvq_apply(state: RVQState, z: jax.Array, train: bool = False,
         residual = residual - jax.lax.stop_gradient(q_raw)
 
     indices = jnp.stack(indices, axis=1)  # (N, L)
+
+    if orthogonal_reg_weight:
+        commit_loss = commit_loss + orthogonal_reg_weight * \
+            orthogonal_reg_loss(codebooks)
 
     if train and rng is not None:
         new_state = RVQState(

