@@ -90,12 +90,17 @@ class SimpleResizeAE:
     def encode(self, params, x, **_):
         b = x.shape[0]
         h, w, c = self._latent_shape
-        return jax.image.resize(x, (b, h, w, c), method=self.method)
+        # antialias=False matches torch F.interpolate numerics (the
+        # reference's resize path, codecs.py:598; parity test in
+        # tests/test_parity_torch.py)
+        return jax.image.resize(x, (b, h, w, c), method=self.method,
+                                antialias=False)
 
     def decode(self, params, z, **_):
         b = z.shape[0]
         s = self.image_size
-        return jax.image.resize(z, (b, s, s, z.shape[-1]), method=self.method)
+        return jax.image.resize(z, (b, s, s, z.shape[-1]), method=self.method,
+                                antialias=False)
 
     def latent_shape(self, image_size: int) -> Tuple[int, int, int]:
         return self._latent_shape
