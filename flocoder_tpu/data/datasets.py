@@ -246,6 +246,10 @@ class Loader:
         if self.shuffle:
             rng.shuffle(order)
         n_batches = len(self)
+        if hasattr(self.dataset, "get_batch"):
+            # shard-backed dataset: one native gather per batch
+            yield from self._iter_shard(order, n_batches)
+            return
         # Two pools: batch assemblers must never share workers with item
         # loaders (same-pool nesting deadlocks when all workers hold batch
         # tasks that wait on item futures).
@@ -273,6 +277,25 @@ class Loader:
         finally:
             batch_pool.shutdown(wait=False, cancel_futures=True)
             item_pool.shutdown(wait=False, cancel_futures=True)
+
+    def _iter_shard(self, order, n_batches) -> Iterator[dict]:
+        pool = ThreadPoolExecutor(max(1, self.prefetch))
+        try:
+            def make(b):
+                idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+                return self.dataset.get_batch(idx)
+
+            pending: "queue.Queue" = queue.Queue()
+            n_ahead = min(self.prefetch, n_batches)
+            for b in range(n_ahead):
+                pending.put(pool.submit(make, b))
+            for b in range(n_batches):
+                fut = pending.get()
+                if b + n_ahead < n_batches:
+                    pending.put(pool.submit(make, b + n_ahead))
+                yield fut.result()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def create_image_loaders(batch_size: int, image_size: int, data_path: str,

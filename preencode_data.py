@@ -93,6 +93,21 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
     writer = ThreadPoolExecutor(8)
     class_names = getattr(dataset, "class_names", None)
 
+    # packed-shard output (preencoding.format=shard): one mmap-able file per
+    # split served by the native C++ gather (flocoder_tpu/data/shard.py)
+    fmt = str(config.preencoding.get("format", "files"))
+    shard = None
+    if fmt == "shard":
+        from flocoder_tpu.data.shard import ShardWriter
+        probe = jnp.zeros((1, image_size, image_size,
+                           getattr(codec, "in_channels", 3)))
+        lat_shape = tuple(np.asarray(encode(probe)).shape[1:])
+        extras = ({"source_latents": lat_shape,
+                   "mask_pixels": (image_size, image_size, 1)}
+                  if inpainting else None)
+        shard = ShardWriter(os.path.join(out_split, "data.fcshard"),
+                            lat_shape, extra_fields=extras)
+
     def write_one(split_dir, name, latent, label, extra=None):
         nonlocal bytes_written
         sub = (class_names[label] if class_names and class_names != [""]
@@ -131,11 +146,18 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
                 target, source = quant(target), quant(source)
             target, source = np.asarray(target), np.asarray(source)
             for i in range(target.shape[0]):
-                writer.submit(write_one, out_split, f"b{b:06d}_{i:03d}",
-                              None, int(labels[i]),
-                              {"target_latents": target[i],
-                               "source_latents": source[i],
-                               "mask_pixels": masks[i].astype(bool)})
+                if shard is not None:
+                    shard.add(target[i], int(labels[i]),
+                              {"source_latents": source[i],
+                               "mask_pixels": masks[i]})
+                    with lock:
+                        bytes_written += shard._record_bytes
+                else:
+                    writer.submit(write_one, out_split, f"b{b:06d}_{i:03d}",
+                                  None, int(labels[i]),
+                                  {"target_latents": target[i],
+                                   "source_latents": source[i],
+                                   "mask_pixels": masks[i].astype(bool)})
                 n_saved += 1
         else:
             z = encode(pixels)
@@ -143,8 +165,13 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
                 z = quant(z)
             z = np.asarray(z)
             for i in range(z.shape[0]):
-                writer.submit(write_one, out_split, f"b{b:06d}_{i:03d}",
-                              z[i], int(labels[i]))
+                if shard is not None:
+                    shard.add(z[i], int(labels[i]))
+                    with lock:
+                        bytes_written += shard._record_bytes
+                else:
+                    writer.submit(write_one, out_split, f"b{b:06d}_{i:03d}",
+                                  z[i], int(labels[i]))
                 n_saved += 1
         if bytes_written > max_gb * 1e9:
             print(f"storage cap {max_gb}GB reached")
@@ -155,6 +182,8 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
                   f"{n_saved} latents  {rate:.0f}/s  "
                   f"{bytes_written/1e9:.2f}GB")
     writer.shutdown(wait=True)
+    if shard is not None:
+        shard.close()
     rate = n_saved / max(time.time() - t0, 1e-9)
     print(f"[{split}] done: {n_saved} latents in {time.time()-t0:.0f}s "
           f"({rate:.0f} latents/s) → {out_split}")

@@ -64,8 +64,17 @@ def train_flow(config):
     seed = int(ldcfg(config, "seed", 0))
 
     # ---- data -------------------------------------------------------------
-    train_ds = PreEncodedDataset(f"{data_path}/train", n_classes=n_classes)
-    val_ds = PreEncodedDataset(f"{data_path}/val", n_classes=n_classes)
+    def make_ds(split):
+        shard_path = os.path.join(data_path, split, "data.fcshard")
+        if os.path.exists(shard_path):
+            from flocoder_tpu.data.shard import ShardDataset
+            ds = ShardDataset(shard_path, n_classes=n_classes)
+            print(f"[{split}] packed shard ({'native' if ds.reader.is_native else 'numpy'} gather), {len(ds)} records")
+            return ds
+        return PreEncodedDataset(f"{data_path}/{split}", n_classes=n_classes)
+
+    train_ds = make_ds("train")
+    val_ds = make_ds("val")
     num_workers = int(ldcfg(config, "num_workers", 4))
     train_loader = Loader(train_ds, batch_size, shuffle=True,
                           num_workers=num_workers, seed=seed)
