@@ -208,7 +208,11 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, seed: int = 0, prefetch: int = 2,
-                 key: str = "target"):
+                 key: str = "target", host_shard: Optional[Tuple[int, int]] = None):
+        """``host_shard=(host_id, n_hosts)`` makes this loader serve only its
+        host's slice of each (identically seeded) global shuffle — the
+        per-host input pipeline for multi-host training (SURVEY.md §5.8;
+        wire with ``jax.process_index()``/``jax.process_count()``)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -216,10 +220,21 @@ class Loader:
         self.seed = seed
         self.prefetch = prefetch
         self.key = key
+        self.host_shard = host_shard
         self._epoch = 0
 
+    def _host_slice(self, order: np.ndarray) -> np.ndarray:
+        if not self.host_shard:
+            return order
+        host_id, n_hosts = self.host_shard
+        per = len(order) // n_hosts
+        return order[host_id * per:(host_id + 1) * per]
+
     def __len__(self):
-        return len(self.dataset) // self.batch_size
+        n = len(self.dataset)
+        if self.host_shard:
+            n = n // self.host_shard[1]
+        return n // self.batch_size
 
     def _assemble(self, items) -> dict:
         datas, labels = zip(*items)
@@ -245,6 +260,7 @@ class Loader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             rng.shuffle(order)
+        order = self._host_slice(order)
         n_batches = len(self)
         if hasattr(self.dataset, "get_batch"):
             # shard-backed dataset: one native gather per batch
