@@ -139,23 +139,27 @@ def evaluate_model(model_apply: Callable, codec, codec_params, epoch: int,
     return {k: float(v) for k, v in metrics.items()}
 
 
-def make_e2e_sampler(model_apply: Callable, codec, codec_params,
-                     latent_shape, batch_size: int, method: str = "rk4",
+def make_e2e_sampler(model_apply_p: Callable, codec, latent_shape,
+                     batch_size: int, method: str = "rk4",
                      n_steps: int = 50, cfg_strength: float = 3.0,
                      n_classes: int = 0, t_scale: float = 999.0,
                      warp_s: float = 0.5):
     """Build ONE jitted end-to-end serving function
-    ``f(rng, class_cond) -> (latents, images)`` fusing the full RK4 scan and
-    the codec decode into a single XLA executable — the production inference
-    path (the reference's sampler crosses host/device per step and decodes in
-    a separate chunked loop, sampling.py:116-117, 169-183)."""
+    ``f(params, codec_params, rng, class_cond) -> (latents, images)`` fusing
+    the full RK4 scan and the codec decode into a single XLA executable — the
+    production inference path (the reference's sampler crosses host/device
+    per step and decodes in a separate chunked loop, sampling.py:116-117,
+    169-183). ``model_apply_p(params, x, t, cond)``. Params are arguments,
+    not closure constants, so weight updates don't retrace and the executable
+    stays small."""
 
-    def f(rng, class_cond):
+    def f(params, codec_params, rng, class_cond):
         cond = None
         if n_classes > 0:
             cond = {"class_cond": class_cond, "mask_cond": None}
         latents, _ = generate_latents(
-            model_apply, (batch_size,) + tuple(latent_shape), rng,
+            lambda x, t, c: model_apply_p(params, x, t, c),
+            (batch_size,) + tuple(latent_shape), rng,
             method=method, n_steps=n_steps, cond=cond,
             cfg_strength=cfg_strength, t_scale=t_scale)
         images = codec.decode(codec_params, latents)

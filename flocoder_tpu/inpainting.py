@@ -69,6 +69,7 @@ class MaskEncoder(nn.Module):
     shrink_fac: int = 4
     mode: str = "pool"
     final_act: str = "sigmoid"  # 'sigmoid' | 'silu' | 'none'
+    target_hw: Optional[Tuple[int, int]] = None  # final latent spatial size
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,7 +91,15 @@ class MaskEncoder(nn.Module):
             b, hh, ww, c = x.shape
             doubly = jax.image.resize(x, (b, hh // f2, ww // f2, c),
                                       "bilinear")
-        return jnp.concatenate([doubly, h], axis=-1)
+        out = jnp.concatenate([doubly, h], axis=-1)
+        # Generalization over the reference (whose fixed 16× shrink assumes
+        # 128px images with 8×-compressed latents): when the codec's latent
+        # spatial size differs, resize the encoding to it.
+        if self.target_hw is not None and out.shape[1:3] != tuple(self.target_hw):
+            b, _, _, c = out.shape
+            out = jax.image.resize(
+                out, (b, self.target_hw[0], self.target_hw[1], c), "bilinear")
+        return out
 
 
 def mask_blending(source, mask, noise=None, rng: Optional[jax.Array] = None):

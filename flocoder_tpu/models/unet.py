@@ -213,6 +213,12 @@ class Unet(nn.Module):
 
         class_cond = cond.get("class_cond") if cond else None
         mask = cond.get("mask_cond") if cond else None
+        if self.mask_cond and mask is None:
+            # Param structure must not depend on the call-time cond (linen
+            # auto-names modules by creation order): a missing mask becomes
+            # the all-ones mask, which the input fusion bypasses — the same
+            # "all ones = unconditional" convention as CFG dropout.
+            mask = jnp.ones(x.shape[:3] + (self.mask_channels,), self.dtype)
 
         x = x.astype(dtype)
         x = nn.Conv(self.dim, (1, 1), dtype=dtype, name="init_conv")(x)

@@ -22,7 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["na2d", "na2d_reference", "window_starts"]
+__all__ = ["na2d", "na2d_reference", "na2d_banded", "window_starts"]
 
 
 def window_starts(n: int, kernel_size: int) -> jax.Array:
@@ -69,21 +69,82 @@ def na2d_reference(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(B, H, W, C)
 
 
+def na2d_banded(q: jax.Array, k: jax.Array, v: jax.Array,
+                kernel_size: int = 7, heads: int = 8,
+                scale: Optional[float] = None,
+                tile_h: int = 8) -> jax.Array:
+    """Dense-banded neighborhood attention in plain XLA — the same row-band
+    formulation as the Pallas kernel (ops/pallas/na2d.py) but differentiable
+    by autodiff: queries are grouped into row bands, each band attends
+    densely to its (tile_h + ks − 1)-row key halo under the clamped-window
+    mask. ~k²/((tile_h+ks−1)·W) of the dense FLOPs are 'wasted' on masked
+    keys, but everything is batched matmuls (MXU path) and the memory
+    footprint is (tile_h+ks−1)·W per query instead of the gather
+    formulation's k²·C-per-pixel blowup. Used as the training-time backward
+    for the Pallas forward and as the default non-Pallas implementation."""
+    B, H, W, C = q.shape
+    ks = min(kernel_size, H, W)
+    dh = C // heads
+    if scale is None:
+        scale = dh ** -0.5
+    th = tile_h
+    while H % th:
+        th //= 2
+    th = max(th, 1)
+    nb = H // th
+    KH = min(th + ks - 1, H)
+
+    band_r0 = jnp.arange(nb) * th                        # (nb,)
+    halo_start = jnp.clip(band_r0 - ks // 2, 0, H - KH)  # (nb,)
+    halo_rows = halo_start[:, None] + jnp.arange(KH)[None, :]  # (nb, KH)
+
+    qb = q.reshape(B, nb, th, W, heads, dh)
+    kb = k[:, halo_rows]  # (B, nb, KH, W, C)
+    vb = v[:, halo_rows]
+    kb = kb.reshape(B, nb, KH, W, heads, dh)
+    vb = vb.reshape(B, nb, KH, W, heads, dh)
+
+    scores = jnp.einsum("bntwhd,bnkxhd->bnhtwkx", qb * scale, kb,
+                        preferred_element_type=jnp.float32)
+    # mask: query (band n, row t, col w) ↔ key (halo row idx kk, col x)
+    qi = band_r0[:, None] + jnp.arange(th)[None, :]          # (nb, th) abs row
+    ki = halo_rows                                            # (nb, KH) abs row
+    rs = jnp.clip(qi - ks // 2, 0, H - ks)                    # (nb, th)
+    cs = jnp.clip(jnp.arange(W) - ks // 2, 0, W - ks)         # (W,)
+    row_ok = ((ki[:, None, :] >= rs[:, :, None]) &
+              (ki[:, None, :] < rs[:, :, None] + ks))         # (nb, th, KH)
+    col_ok = ((jnp.arange(W)[None, :] >= cs[:, None]) &
+              (jnp.arange(W)[None, :] < cs[:, None] + ks))    # (W, W) [q, k]
+    mask = (row_ok[:, :, None, :, None] &
+            col_ok[None, None, :, None, :])                   # (nb,th,W,KH,W)
+    scores = jnp.where(mask[:, None][None], scores, -jnp.inf)
+    # softmax over the (KH, W) key axes jointly
+    smax = jnp.max(scores, axis=(-2, -1), keepdims=True)
+    probs = jnp.exp(scores - smax)
+    probs = probs / jnp.sum(probs, axis=(-2, -1), keepdims=True)
+    out = jnp.einsum("bnhtwkx,bnkxhd->bntwhd", probs.astype(v.dtype), vb)
+    return out.reshape(B, H, W, C)
+
+
 def na2d(q: jax.Array, k: jax.Array, v: jax.Array, kernel_size: int = 7,
          heads: int = 8, scale: Optional[float] = None,
          impl: Optional[str] = None) -> jax.Array:
     """Neighborhood attention with backend dispatch.
 
-    impl: None → auto ('pallas' on TPU when available, else 'reference').
+    impl: None → auto ('pallas' on TPU, else the dense-banded XLA
+    formulation); 'reference' forces the gather oracle.
     """
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "reference"
+        impl = "pallas" if jax.default_backend() == "tpu" else "banded"
     if impl == "pallas":
         try:
             from .pallas.na2d import na2d_pallas
             return na2d_pallas(q, k, v, kernel_size=kernel_size, heads=heads,
                                scale=scale)
         except Exception:
-            impl = "reference"
+            impl = "banded"
+    if impl == "banded":
+        return na2d_banded(q, k, v, kernel_size=kernel_size, heads=heads,
+                           scale=scale)
     return na2d_reference(q, k, v, kernel_size=kernel_size, heads=heads,
                           scale=scale)

@@ -124,13 +124,16 @@ def _fwd(q, k, v, kernel_size, heads, scale):
 
 
 def _bwd(kernel_size, heads, scale, residuals, g):
-    from ..neighborhood_attention import na2d_reference
+    # Backward through the dense-banded XLA formulation — the same row-band
+    # math as the forward kernel, so gradients stay MXU matmuls instead of
+    # gathers (oracle-checked in tests/test_pallas_na2d.py).
+    from ..neighborhood_attention import na2d_banded
     q, k, v = residuals
     if scale is None:
         scale = (q.shape[-1] // heads) ** -0.5
     _, vjp = jax.vjp(
-        lambda q, k, v: na2d_reference(q, k, v, kernel_size=kernel_size,
-                                       heads=heads, scale=scale), q, k, v)
+        lambda q, k, v: na2d_banded(q, k, v, kernel_size=kernel_size,
+                                    heads=heads, scale=scale), q, k, v)
     return vjp(g)
 
 

@@ -103,3 +103,19 @@ def test_na2d_dispatcher_cpu_fallback():
     q = jnp.ones((1, 4, 4, 4))
     out = na2d(q, q, q, kernel_size=3, heads=1)
     assert out.shape == q.shape
+
+
+def test_banded_matches_reference_fwd_and_grad():
+    from flocoder_tpu.ops.neighborhood_attention import na2d_banded
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    a = na2d_banded(q, k, v, kernel_size=5, heads=2)
+    b = na2d_reference(q, k, v, kernel_size=5, heads=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    ga = jax.grad(lambda q: jnp.sum(
+        na2d_banded(q, k, v, kernel_size=5, heads=2) ** 2))(q)
+    gb = jax.grad(lambda q: jnp.sum(
+        na2d_reference(q, k, v, kernel_size=5, heads=2) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)

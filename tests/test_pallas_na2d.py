@@ -31,4 +31,4 @@ def test_pallas_custom_vjp_matches_reference_grad():
     g1 = jax.grad(lambda q: jnp.sum(na2d_pallas(q, q, q, 3, 2, None) ** 2))(q)
     g2 = jax.grad(lambda q: jnp.sum(
         na2d_reference(q, q, q, kernel_size=3, heads=2) ** 2))(q)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)

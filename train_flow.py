@@ -111,7 +111,7 @@ def train_flow(config):
     # enable with flow.bf16=true (off by default for CPU-dev parity)
     dtype = jnp.bfloat16 if bool(ldcfg(config, "bf16", False)) else jnp.float32
     model = Unet(dim=H, channels=C, dim_mults=dim_mults, n_classes=n_classes,
-                 mask_cond=inpainting, dtype=dtype)
+                 mask_cond=inpainting, mask_channels=C, dtype=dtype)
     rng, k_model = jax.random.split(rng)
     cond0 = {"class_cond": jnp.zeros((2,), jnp.int32),
              "mask_cond": (jnp.zeros((2, H, W, C)) if inpainting else None)}
@@ -120,7 +120,7 @@ def train_flow(config):
     mask_encoder = None
     mask_encoder_apply = None
     if inpainting:
-        mask_encoder = MaskEncoder(output_channels=C)
+        mask_encoder = MaskEncoder(output_channels=C, target_hw=(H, W))
         rng, k_me = jax.random.split(rng)
         params["mask_encoder"] = mask_encoder.init(
             k_me, jnp.asarray(batch0["mask_pixels"][:2]))
