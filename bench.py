@@ -17,6 +17,8 @@ BASELINE_SAMPLES_PER_SEC = 1050.0  # reference Colab GPU (BASELINE.md row 2)
 
 
 def main():
+    from flocoder_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from flocoder_tpu.models.unet import Unet

@@ -78,13 +78,21 @@ class ImageFolderDataset:
 
     def get(self, i: int, rng: np.random.Generator):
         f = self.files[i]
-        if self._cache is not None and f in self._cache:
-            img = self._cache[f]
-        else:
-            img = Image.open(f).convert("RGB")
-            img.load()
-            if self._cache is not None:
-                self._cache[f] = img
+        try:
+            if self._cache is not None and f in self._cache:
+                img = self._cache[f]
+            else:
+                img = Image.open(f).convert("RGB")
+                img.load()
+                if self._cache is not None:
+                    self._cache[f] = img
+        except Exception as e:
+            # corrupt-file tolerance: redraw another item instead of dying
+            # (reference: data.py:186-191, 380-384 returns a zero fallback;
+            # a redraw keeps batch statistics clean)
+            print(f"ImageFolderDataset: failed to load {f} ({e}); redrawing")
+            j = int(rng.integers(0, len(self.files)))
+            return self.get(j if j != i else (i + 1) % len(self.files), rng)
         label = self.class_map[self._top(f)]
         out = self.transform(img, rng) if self.transform else np.asarray(img)
         return out, np.int32(label)

@@ -215,6 +215,8 @@ def create_gradio_interface(config):
 
 
 def main():
+    from flocoder_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from flocoder_tpu.config import parse_cli
     config = parse_cli(default_config=None,
                        config_dir=os.path.join(os.path.dirname(

@@ -190,6 +190,8 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
 
 
 def main():
+    from flocoder_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     from flocoder_tpu.config import parse_cli, ldcfg

@@ -1,0 +1,69 @@
+"""sampler / evaluate_model / decode_latents orchestration tests."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flocoder_tpu.evaluation import (decode_latents, sampler, evaluate_model,
+                                     make_e2e_sampler)
+from flocoder_tpu.models.codecs import NoOpAE, SimpleResizeAE
+
+
+def _vel_field(x, t, cond):
+    return 0.5 - x  # fixed point at 0.5
+
+
+def test_decode_latents_chunked_matches_unchunked():
+    codec = SimpleResizeAE(latent_shape=(4, 4, 3), image_size=8)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (10, 4, 4, 3))
+    full = decode_latents(codec, {}, lat, chunk_size=100)
+    chunked = decode_latents(codec, {}, lat, chunk_size=3)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               atol=1e-6)
+
+
+def test_decode_latents_midi_g2rgb():
+    codec = NoOpAE(in_channels=1)
+    lat = jnp.ones((2, 4, 4, 1)) * 0.5  # gray 0.5 → green channel
+    out = decode_latents(codec, {}, lat, is_midi=True)
+    assert out.shape == (2, 4, 4, 3)
+    assert float(out[..., 1].max()) == 1.0  # sustain → green
+
+
+def test_sampler_shapes_and_class_grid():
+    codec = NoOpAE()
+    lat, dec, nfe = sampler(_vel_field, codec, {}, jax.random.PRNGKey(0),
+                            batch_size=12, n_steps=5, n_classes=7,
+                            latent_shape=(4, 4, 3), cfg_strength=0.0,
+                            cond=None)
+    assert lat.shape == (12, 4, 4, 3)
+    assert dec.shape == (12, 4, 4, 3)
+    assert nfe == 4 * 4
+
+
+def test_evaluate_model_end_to_end(tmp_path):
+    codec = NoOpAE()
+    target = jax.random.normal(jax.random.PRNGKey(1), (16, 4, 4, 3)) * 0.1 + 0.5
+    metrics = evaluate_model(_vel_field, codec, {}, epoch=1,
+                             target_latents=target,
+                             rng=jax.random.PRNGKey(2), batch_size=16,
+                             n_steps=5, method="rk4", cfg_strength=0.0,
+                             use_wandb=False, output_dir=str(tmp_path))
+    for key in ("FID_px", "sinkhorn", "mse", "pred_mean", "targ_std"):
+        assert key in metrics and np.isfinite(metrics[key])
+    # image grids written
+    pngs = [f for f in os.listdir(tmp_path) if f.endswith(".png")]
+    assert len(pngs) >= 4  # pred/target latents + decodes
+
+
+def test_make_e2e_sampler_jitted():
+    codec = SimpleResizeAE(latent_shape=(4, 4, 3), image_size=8)
+    f = make_e2e_sampler(lambda p, x, t, c: 0.5 - x, codec, (4, 4, 3),
+                         batch_size=6, n_steps=4, cfg_strength=0.0,
+                         n_classes=0)
+    lat, img = f({}, {}, jax.random.PRNGKey(0), jnp.zeros(6, jnp.int32))
+    assert lat.shape == (6, 4, 4, 3)
+    assert img.shape == (6, 8, 8, 3)
+    # fixed point pull: mean should move toward 0.5
+    assert abs(float(lat.mean()) - 0.5) < 0.5

@@ -189,11 +189,28 @@ def train_flow(config):
             if use_wandb:
                 wblog.log({"Loss/val": val_loss, "epoch": epoch})
 
+            # inpainting eval conditions on the val batch's real masks
+            # (reference: train_flow.py:404-427 builds eval cond from the
+            # same batch_to_data outputs)
+            eval_mask_cond = None
+            eval_source = None
+            if inpainting and "mask_pixels" in vb:
+                eval_mask_cond = mask_encoder.apply(
+                    state.params["mask_encoder"],
+                    jnp.asarray(vb["mask_pixels"]))
+                k_blend = jax.random.fold_in(k1, 1)
+                noise = jax.random.normal(k_blend,
+                                          jnp.asarray(vb["source"]).shape)
+                eval_source = (jnp.asarray(vb["source"]) + eval_mask_cond *
+                               (noise - jnp.asarray(vb["source"])))
             eval_kwargs = dict(
                 codec=codec, codec_params=codec_params, epoch=epoch,
                 target_latents=jnp.asarray(vb["target"]),
                 cond={"class_cond": jnp.asarray(vb["class_cond"]),
-                      "mask_cond": None},
+                      "mask_cond": eval_mask_cond},
+                source=eval_source,
+                mask_pixels=(jnp.asarray(vb["mask_pixels"])
+                             if inpainting and "mask_pixels" in vb else None),
                 batch_size=min(batch_size, 256), n_classes=n_classes,
                 method="rk4", n_steps=n_steps_eval,
                 cfg_strength=cfg_strength, is_midi=is_midi,
@@ -233,6 +250,8 @@ def _flat(ck: dict) -> dict:
 
 
 def main():
+    from flocoder_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from flocoder_tpu.config import parse_cli
     config = parse_cli(default_config=None,
                        config_dir=os.path.join(os.path.dirname(
