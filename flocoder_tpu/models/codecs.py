@@ -144,7 +144,7 @@ class NATTENBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        xn = nn.GroupNorm(num_groups=gn_groups(8, c), dtype=self.dtype)(x)
+        xn = nn.GroupNorm(num_groups=gn_groups(8, c), epsilon=1e-5, dtype=self.dtype)(x)
         init = nn.initializers.normal(self.init_scale)
         qkv = nn.Dense(3 * c, use_bias=False, kernel_init=init,
                        dtype=self.dtype)(xn)
@@ -171,7 +171,7 @@ class EncDecResidualBlock(nn.Module):
         c_in = x.shape[-1]
         h = nn.Conv(self.out_channels, (3, 3), strides=self.stride, padding=1,
                     dtype=self.dtype)(x)
-        h = nn.GroupNorm(num_groups=gn_groups(8, self.out_channels),
+        h = nn.GroupNorm(num_groups=gn_groups(8, self.out_channels), epsilon=1e-5,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         if self.dropout_rate > 0:
@@ -181,12 +181,12 @@ class EncDecResidualBlock(nn.Module):
         elif self.attention == "full":
             h = AttnBlock(dtype=self.dtype)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=gn_groups(8, self.out_channels),
+        h = nn.GroupNorm(num_groups=gn_groups(8, self.out_channels), epsilon=1e-5,
                          dtype=self.dtype)(h)
         if self.stride != 1 or c_in != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
                         dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=gn_groups(8, self.out_channels),
+            x = nn.GroupNorm(num_groups=gn_groups(8, self.out_channels), epsilon=1e-5,
                              dtype=self.dtype)(x)
         h = nn.silu(h + x)
         if self.dropout_rate > 0:
@@ -294,7 +294,7 @@ class VQVAEEncoder(nn.Module):
         h = nn.Conv(self.internal_dim, (1, 1), dtype=self.dtype)(h)
         # compression head (reference: codecs.py:435-440)
         h = nn.Conv(self.vq_embedding_dim, (1, 1), dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=gn_groups(2, self.vq_embedding_dim),
+        h = nn.GroupNorm(num_groups=gn_groups(2, self.vq_embedding_dim), epsilon=1e-5,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(self.vq_embedding_dim, (3, 3), padding=1,
@@ -326,7 +326,7 @@ class VQVAEDecoder(nn.Module):
         cur = self.hidden_channels * (2 ** (self.num_downsamples - 1))
         h = nn.Conv(self.internal_dim, (1, 1), dtype=self.dtype)(h)
         h = nn.GroupNorm(num_groups=gn_groups(self.vq_embedding_dim,
-                                              self.internal_dim),
+                                              self.internal_dim), epsilon=1e-5,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(cur, (1, 1), dtype=self.dtype)(h)

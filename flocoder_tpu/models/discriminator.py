@@ -64,11 +64,11 @@ class DiscrResBlock(nn.Module):
             identity = x
         h = _sn(nn.Conv(self.out_channels, (3, 3), strides=self.stride,
                         padding=1, dtype=self.dtype))(x, update_stats=update_stats)
-        h = nn.GroupNorm(num_groups=groups, dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=groups, dtype=self.dtype, epsilon=1e-5)(h)
         h = nn.leaky_relu(h, 0.2)
         h = _sn(nn.Conv(self.out_channels, (3, 3), padding=1,
                         dtype=self.dtype))(h, update_stats=update_stats)
-        h = nn.GroupNorm(num_groups=groups, dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=groups, dtype=self.dtype, epsilon=1e-5)(h)
         return nn.leaky_relu(h + identity, 0.2)
 
 

@@ -50,7 +50,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, scale_shift=None):
         x = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, epsilon=1e-5)(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1.0) + shift
@@ -122,7 +122,7 @@ class LinearAttention(nn.Module):
         out = jnp.einsum("bhde,bnhd->bnhe", context, q)
         out = out.reshape(b, h, w, hidden)
         out = nn.Conv(c, (1, 1), dtype=self.dtype)(out)
-        return nn.GroupNorm(num_groups=1, dtype=self.dtype)(out)
+        return nn.GroupNorm(num_groups=1, dtype=self.dtype, epsilon=1e-5)(out)
 
 
 class PreNormResidual(nn.Module):
@@ -132,7 +132,7 @@ class PreNormResidual(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return x + self.fn(nn.GroupNorm(num_groups=1, dtype=self.dtype)(x))
+        return x + self.fn(nn.GroupNorm(num_groups=1, dtype=self.dtype, epsilon=1e-5)(x))
 
 
 def pixel_unshuffle(x: jax.Array, factor: int = 2) -> jax.Array:
@@ -240,7 +240,7 @@ class Unet(nn.Module):
 
         t = sinusoidal_embedding(jnp.asarray(time, dtype), self.dim)
         t = nn.Dense(time_dim, dtype=dtype)(t)
-        t = nn.gelu(t)
+        t = nn.gelu(t, approximate=False)  # exact erf, torch parity
         t = nn.Dense(time_dim, dtype=dtype)(t)
 
         if self.n_classes > 0 and class_cond is not None:
@@ -249,7 +249,7 @@ class Unet(nn.Module):
             ids = jnp.clip(class_cond, 0, self.n_classes - 1)
             ce = nn.Embed(self.n_classes, time_dim, dtype=dtype)(ids)
             ce = nn.Dense(time_dim, dtype=dtype)(ce)
-            ce = nn.gelu(ce)
+            ce = nn.gelu(ce, approximate=False)
             ce = nn.Dense(time_dim, dtype=dtype)(ce)
             valid = (class_cond >= 0).astype(dtype)[:, None]
             t = t + ce * valid

@@ -52,14 +52,14 @@ class VQGANPlusResidualBlock(nn.Module):
         g = gn_groups(8, self.out_channels)
         h = nn.Conv(self.out_channels, (3, 3), strides=self.stride, padding=1,
                     dtype=self.dtype)(x)
-        h = nn.GroupNorm(num_groups=g, dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=g, dtype=self.dtype, epsilon=1e-5)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=g, dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=g, dtype=self.dtype, epsilon=1e-5)(h)
         if self.stride != 1 or c_in != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
                         dtype=self.dtype)(x)
-            x = nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=g, dtype=self.dtype, epsilon=1e-5)(x)
         return nn.silu(h + x)
 
 
@@ -82,12 +82,12 @@ class VQGANPlusEncoder(nn.Module):
             h = VQGANPlusResidualBlock(ch, stride=1, dtype=self.dtype)(h)
         h = nn.Conv(self.latent_channels, (3, 3), padding=1,
                     dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=gn_groups(8, self.latent_channels),
+        h = nn.GroupNorm(num_groups=gn_groups(8, self.latent_channels), epsilon=1e-5,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         # compression head
         h = nn.Conv(self.vq_embedding_dim, (1, 1), dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=gn_groups(8, self.vq_embedding_dim),
+        h = nn.GroupNorm(num_groups=gn_groups(8, self.vq_embedding_dim), epsilon=1e-5,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         return nn.Conv(self.vq_embedding_dim, (3, 3), padding=1,
@@ -108,7 +108,7 @@ class VQGANPlusDecoder(nn.Module):
         rev = list(reversed(self.channel_multipliers))
         ch0 = self.base_channels * rev[0]
         h = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype)(z)
-        h = nn.GroupNorm(num_groups=gn_groups(8, ch0), dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=gn_groups(8, ch0), epsilon=1e-5, dtype=self.dtype)(h)
         h = nn.silu(h)
         for mult in rev[1:]:
             ch = self.base_channels * mult

@@ -135,40 +135,58 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
         donate = jax.default_backend() != "cpu"
 
     def step_fn(state: VQGANState, batch, rng):
-        k_g, k_d, k_fake = jax.random.split(rng, 3)
+        params = state.params
+        g_params = _g_trainable(params)
+
+        # ONE codec forward, with its pullback captured — both the D step's
+        # fake images and the G step's loss reuse it. The reference (and the
+        # naive formulation) run the generator forward twice per batch
+        # (train_vqgan.py:220-246); the vjp trick halves that at identical
+        # gradients: D-step order and the updated-disc G loss are preserved.
+        def forward_fn(gp):
+            recon, commit, idx, new_vq = codec.forward(
+                {**gp, "vq": params["vq"]}, batch, train=True, rng=rng,
+                axis_name=axis_name)
+            return (recon, commit), (idx, new_vq)
+
+        (recon, commit), vjp_fn, (idx, new_vq) = jax.vjp(
+            forward_fn, g_params, has_aux=True)
 
         # ---- D step (reference: train_vqgan.py:220-233) -------------------
-        params = state.params
-        fake, _, _, _ = codec.forward(params, batch, train=True, rng=k_fake,
-                                      axis_name=axis_name)
-        fake = jax.lax.stop_gradient(fake)
+        fake = jax.lax.stop_gradient(recon)
 
         def d_loss_fn(d_params):
             dv = {**state.disc_vars, "params": d_params}
-            (real_pred, _), new_vars = disc_apply_train(dv, batch)
+            (real_pred, real_features), new_vars = disc_apply_train(dv, batch)
             (fake_pred, _), new_vars = disc_apply_train(new_vars | {
                 "params": d_params}, fake)
-            return hinge_d_loss(real_pred, fake_pred), new_vars
+            return hinge_d_loss(real_pred, fake_pred), (new_vars,
+                                                        real_features)
 
-        (d_loss, new_disc_vars), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.disc_vars["params"])
+        (d_loss, (new_disc_vars, real_features)), d_grads = \
+            jax.value_and_grad(d_loss_fn, has_aux=True)(
+                state.disc_vars["params"])
         d_updates, opt_d = tx_d.update(d_grads, state.opt_d,
                                        state.disc_vars["params"])
         d_params_new = optax.apply_updates(state.disc_vars["params"],
                                            d_updates)
         disc_vars = {**new_disc_vars, "params": d_params_new}
 
-        # ---- G step (reference: train_vqgan.py:236-246) -------------------
-        loss_fn = _generator_loss_fn(
-            codec, config, perceptual_fn,
-            lambda dv, x: disc_apply_eval(dv, x), use_gan=True,
-            axis_name=axis_name)
-        (total, (losses, recon, idx, new_vq)), g_grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(_g_trainable(params), params["vq"],
-                                   disc_vars, batch, k_g)
-        g_updates, opt_g = tx_g.update(g_grads, state.opt_g,
-                                       _g_trainable(params))
-        g_new = optax.apply_updates(_g_trainable(params), g_updates)
+        # ---- G step (reference: train_vqgan.py:236-246): loss on the SAME
+        # recon with the just-updated discriminator; grads pull back through
+        # the saved vjp.
+        def g_loss_on_outputs(recon, commit):
+            disc_fn = lambda dv, x: disc_apply_eval(dv, x)
+            losses = compute_vqgan_losses(
+                recon, batch, commit, config, perceptual_fn=perceptual_fn,
+                disc_apply=disc_fn, disc_params=disc_vars, warmed_up=True)
+            return get_total_vqgan_loss(losses, config), losses
+
+        (total, losses), (d_recon, d_commit) = jax.value_and_grad(
+            g_loss_on_outputs, argnums=(0, 1), has_aux=True)(recon, commit)
+        (g_grads,) = vjp_fn((d_recon, d_commit))
+        g_updates, opt_g = tx_g.update(g_grads, state.opt_g, g_params)
+        g_new = optax.apply_updates(g_params, g_updates)
 
         new_state = VQGANState(params={**g_new, "vq": new_vq}, opt_g=opt_g,
                                disc_vars=disc_vars, opt_d=opt_d,
