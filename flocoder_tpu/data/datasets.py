@@ -358,10 +358,11 @@ def create_image_loaders(batch_size: int, image_size: int, data_path: str,
         def get(self, i, rng):
             return self.base.get(int(self.ids[i]), rng)
 
-    train = Loader(_Subset(dataset, idx[n_val:]), batch_size, True,
-                   num_workers, seed)
-    val = Loader(_Subset(dataset, idx[:n_val]), batch_size, True,
-                 num_workers, seed + 1)
+    # clamp per-split batch size so tiny splits still yield ≥1 batch
+    train = Loader(_Subset(dataset, idx[n_val:]),
+                   max(1, min(batch_size, n - n_val)), True, num_workers, seed)
+    val = Loader(_Subset(dataset, idx[:n_val]),
+                 max(1, min(batch_size, n_val)), True, num_workers, seed + 1)
     return train, val
 
 

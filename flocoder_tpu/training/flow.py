@@ -78,6 +78,7 @@ def make_flow_train_step(model_apply: Callable, tx,
                          ema_decay: float = 0.999, use_ot: bool = True,
                          mask_identity_weight: float = 1.0,
                          remat: bool = False,
+                         encode_fn: Optional[Callable] = None,
                          donate: Optional[bool] = None):
     """Build the jitted train step.
 
@@ -85,6 +86,12 @@ def make_flow_train_step(model_apply: Callable, tx,
     ``mask_encoder_apply(params, mask_pixels)`` are pure functions.
     Batch: {'target': (B,H,W,C) latents, 'class_cond': (B,) int or absent,
     'source': source latents (inpainting), 'mask_pixels': (B,Hp,Wp,1)}.
+
+    ``encode_fn(pixels) -> latents`` enables on-the-fly (non-pre-encoded)
+    training: batches carry 'pixels' and the frozen codec's encode runs
+    INSIDE the same XLA executable as the flow step (the reference's
+    pre_encoded=False branch, train_flow.py:253-262, runs the codec in a
+    separate host-driven pass).
     """
     if remat:
         model_apply = jax.checkpoint(model_apply)
@@ -95,7 +102,10 @@ def make_flow_train_step(model_apply: Callable, tx,
         donate = jax.default_backend() != "cpu"
 
     def step_fn(state: FlowState, batch: dict, rng: jax.Array):
-        target_in = batch["target"]
+        if encode_fn is not None and "pixels" in batch:
+            target_in = jax.lax.stop_gradient(encode_fn(batch["pixels"]))
+        else:
+            target_in = batch["target"]
         class_cond_in = batch.get("class_cond")
         B = target_in.shape[0]
         k_noise, k_gate, k_cfgnoise, k_t = jax.random.split(rng, 4)

@@ -63,27 +63,56 @@ def train_flow(config):
     keep_gray = int(ldcfg(config, "in_channels", 3)) == 1
     seed = int(ldcfg(config, "seed", 0))
 
-    # ---- data -------------------------------------------------------------
-    def make_ds(split):
-        shard_path = os.path.join(data_path, split, "data.fcshard")
-        if os.path.exists(shard_path):
-            from flocoder_tpu.data.shard import ShardDataset
-            ds = ShardDataset(shard_path, n_classes=n_classes)
-            print(f"[{split}] packed shard ({'native' if ds.reader.is_native else 'numpy'} gather), {len(ds)} records")
-            return ds
-        return PreEncodedDataset(f"{data_path}/{split}", n_classes=n_classes)
-
-    train_ds = make_ds("train")
-    val_ds = make_ds("val")
+    pre_encoded = bool(ldcfg(config, "pre_encoded", True))
+    image_size = int(ldcfg(config, "image_size", 128))
     num_workers = int(ldcfg(config, "num_workers", 4))
-    train_loader = Loader(train_ds, batch_size, shuffle=True,
-                          num_workers=num_workers, seed=seed)
-    val_loader = Loader(val_ds, batch_size, shuffle=True,
-                        num_workers=num_workers, seed=seed + 1)
 
-    batch0 = next(iter(train_loader))
-    sample = batch0["target"][0]
-    H, W, C = sample.shape
+    # ---- codec (frozen: eval decode, and on-the-fly encode) ----------------
+    codec = setup_codec(config)
+    rng = jax.random.PRNGKey(seed)
+    rng, k_codec = jax.random.split(rng)
+    codec_params = codec.init(k_codec, jnp.zeros(
+        (1, image_size, image_size, codec.in_channels)))
+    codec_ckpt = ldcfg(config, "codec_checkpoint", None) or (
+        config.codec.get("checkpoint") if "codec" in config else None)
+    if codec_ckpt and os.path.exists(str(codec_ckpt)):
+        ck = load_checkpoint(str(codec_ckpt))
+        codec_params = load_into_tree(codec_params, _flat(ck), strict=False)
+        print(f"loaded codec checkpoint {codec_ckpt}")
+    encode_fn = None
+
+    # ---- data -------------------------------------------------------------
+    if pre_encoded:
+        def make_ds(split):
+            shard_path = os.path.join(data_path, split, "data.fcshard")
+            if os.path.exists(shard_path):
+                from flocoder_tpu.data.shard import ShardDataset
+                ds = ShardDataset(shard_path, n_classes=n_classes)
+                print(f"[{split}] packed shard ({'native' if ds.reader.is_native else 'numpy'} gather), {len(ds)} records")
+                return ds
+            return PreEncodedDataset(f"{data_path}/{split}",
+                                     n_classes=n_classes)
+
+        train_loader = Loader(make_ds("train"), batch_size, shuffle=True,
+                              num_workers=num_workers, seed=seed)
+        val_loader = Loader(make_ds("val"), batch_size, shuffle=True,
+                            num_workers=num_workers, seed=seed + 1)
+        batch0 = next(iter(train_loader))
+        H, W, C = batch0["target"][0].shape
+    else:
+        # On-the-fly mode (reference: train_flow.py:253-262 pre_encoded=False):
+        # image loaders feed pixels; the frozen codec's encode runs INSIDE
+        # the jitted train step (encode_fn below).
+        raw_path = os.path.expanduser(config.data)
+        train_loader, val_loader = create_image_loaders(
+            batch_size, image_size, raw_path, num_workers=num_workers,
+            is_midi=is_midi, config=config, seed=seed)
+        train_loader.key = val_loader.key = "pixels"
+        batch0 = next(iter(train_loader))
+        H, W, C = codec.latent_shape(image_size)
+        encode_fn = lambda px: codec.encode(codec_params, px)
+        print(f"on-the-fly mode: encoding {image_size}px images in-step")
+
     latent_shape = (H, W, C)
     inpainting = "mask_pixels" in batch0
     print(f"latent shape HWC = {latent_shape}, inpainting = {inpainting}, "
@@ -91,20 +120,6 @@ def train_flow(config):
 
     output_dir = f"output_{os.path.basename(data_path)}-{H}x{W}"
     os.makedirs(output_dir, exist_ok=True)
-
-    # ---- codec (frozen, for eval decode) ----------------------------------
-    codec = setup_codec(config)
-    rng = jax.random.PRNGKey(seed)
-    rng, k_codec = jax.random.split(rng)
-    codec_params = codec.init(k_codec, jnp.zeros(
-        (1, int(ldcfg(config, "image_size", 128)),
-         int(ldcfg(config, "image_size", 128)), codec.in_channels)))
-    codec_ckpt = ldcfg(config, "codec_checkpoint", None) or (
-        config.codec.get("checkpoint") if "codec" in config else None)
-    if codec_ckpt and os.path.exists(str(codec_ckpt)):
-        ck = load_checkpoint(str(codec_ckpt))
-        codec_params = load_into_tree(codec_params, _flat(ck), strict=False)
-        print(f"loaded codec checkpoint {codec_ckpt}")
 
     # ---- model ------------------------------------------------------------
     # bfloat16 compute (fp32 params/outputs) is the TPU-native precision;
@@ -140,7 +155,8 @@ def train_flow(config):
     model_apply = lambda p, x, t, c: model.apply(p, x, t, c)
     train_step = make_flow_train_step(
         model_apply, tx, mask_encoder_apply=mask_encoder_apply,
-        ema_decay=float(ldcfg(config, "ema_decay", 0.999)))
+        ema_decay=float(ldcfg(config, "ema_decay", 0.999)),
+        encode_fn=encode_fn)
     eval_step = make_flow_eval_step(model_apply,
                                     mask_encoder_apply=mask_encoder_apply)
 
@@ -183,6 +199,9 @@ def train_flow(config):
         # ---- eval cadence (reference: train_flow.py:400) ------------------
         if (epoch < 20) or (epoch % 10 == 0):
             vb = next(iter(val_loader))
+            if encode_fn is not None and "pixels" in vb:
+                vb = dict(vb)
+                vb["target"] = np.asarray(encode_fn(jnp.asarray(vb["pixels"])))
             key, k1, k2, k3 = jax.random.split(key, 4)
             val_loss = float(eval_step(state.params, shard_batch(mesh, vb), k1))
             print(f"  val loss {val_loss:.4f}")
