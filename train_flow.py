@@ -152,6 +152,34 @@ def train_flow(config):
     tx = make_flow_optimizer(sched, mask_encoder=inpainting)
     state = create_flow_state(params, tx)
 
+    # resume (the reference has NO flow resume path, SURVEY.md §5.4 — fresh
+    # starts only; here load_checkpoint=<flow_*.npz> restores params,
+    # optimizer state, and EMA)
+    start_epoch = 1
+    resume = ldcfg(config, "load_checkpoint", None)
+    if resume and os.path.exists(str(resume)):
+        ck = load_checkpoint(str(resume))
+        from flocoder_tpu.training.checkpoint import flatten_tree as _ft
+        new_params = load_into_tree(state.params,
+                                    _ft(ck["model_state_dict"]), strict=False)
+        new_opt = state.opt_state
+        if ck.get("optimizer_state_dict"):
+            try:
+                new_opt = load_into_tree(state.opt_state,
+                                         _ft(ck["optimizer_state_dict"]),
+                                         strict=True)
+            except (KeyError, ValueError) as e:
+                print(f"optimizer state not restored ({e}); fresh optimizer")
+        new_ema = state.ema
+        if ck.get("ema_state_dict"):
+            new_ema = load_into_tree(state.ema, _ft(ck["ema_state_dict"]),
+                                     strict=False)
+        state = FlowState(params=new_params, opt_state=new_opt, ema=new_ema,
+                          step=jnp.asarray(ck["epoch"] * len(train_loader),
+                                           jnp.int32))
+        start_epoch = ck["epoch"] + 1
+        print(f"resumed from {resume} at epoch {ck['epoch']}")
+
     model_apply = lambda p, x, t, c: model.apply(p, x, t, c)
     train_step = make_flow_train_step(
         model_apply, tx, mask_encoder_apply=mask_encoder_apply,
@@ -176,7 +204,7 @@ def train_flow(config):
     # ---- training loop ----------------------------------------------------
     key = jax.random.PRNGKey(seed + 1)
     t_start = time.time()
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, epochs + 1):
         ep_losses = []
         t_ep = time.time()
         for batch in train_loader:
@@ -252,7 +280,7 @@ def train_flow(config):
         if epoch % int(ldcfg(config, "ckpt_every", 25)) == 0:
             save_checkpoint(state.params, epoch=epoch, ckpt_dir="checkpoints",
                             prefix="flow_", opt_state=state.opt_state,
-                            config=config, keep=5)
+                            ema=state.ema, config=config, keep=5)
             save_checkpoint(state.ema, epoch=epoch, ckpt_dir="checkpoints",
                             prefix="flowema_", config=config, keep=5)
             keep_recent_files(100, directory=output_dir, pattern="*.png")
