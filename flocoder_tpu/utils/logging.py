@@ -58,6 +58,11 @@ def _plain(obj: Any) -> Any:
 
 def log(metrics: dict, step: Optional[int] = None) -> None:
     if _state["backend"] == "wandb":
+        # image-path values become wandb.Image so grids render in the UI
+        metrics = {k: (_wandb.Image(v) if isinstance(v, str) and
+                       v.endswith((".png", ".jpg")) and os.path.exists(v)
+                       else v)
+                   for k, v in metrics.items()}
         _wandb.log(metrics, step=step)
     elif _state["backend"] == "jsonl" and _state["file"] is not None:
         rec = _plain(metrics)

@@ -135,3 +135,29 @@ def test_calc_note_metrics_perfect_and_disjoint():
     assert m["sustain_f1"] > 0.99
     m2 = calc_note_metrics(np.zeros_like(img), img)
     assert m2["onset_sensitivity"] < 1e-6
+
+
+def test_midi_image_dataset_conversion(tmp_path):
+    """Toy MIDI corpus → piano-roll PNGs → dataset → loader batches."""
+    from flocoder_tpu.data.datasets import MIDIImageDataset, Loader
+    corpus = tmp_path / "corpus"
+    for song in ("001", "002", "010"):
+        d = corpus / song
+        d.mkdir(parents=True)
+        inst = MidiInstrument(name="PIANO", notes=[
+            MidiNote(pitch=60 + i, velocity=80, start=i * 0.25,
+                     end=i * 0.25 + 0.2) for i in range(8)])
+        write_midi(str(d / f"{song}.mid"),
+                   MidiFile(instruments=[inst], tempos=[(0.0, 120.0)]))
+    ds = MIDIImageDataset(str(corpus), image_dir=str(tmp_path / "imgs"),
+                          split="train", val_mod=10)
+    # song 010 (divisible by 10) goes to val; 001/002 train, 3 rolls each
+    assert len(ds) == 6
+    val = MIDIImageDataset(str(corpus), image_dir=str(tmp_path / "imgs"),
+                           split="val", val_mod=10)
+    assert len(val) == 3
+    item, label = ds.get(0, np.random.default_rng(0))
+    assert item.ndim == 3 and item.shape[-1] == 3
+    loader = Loader(ds, batch_size=2, num_workers=1, seed=0)
+    b = next(iter(loader))
+    assert b["target"].shape[0] == 2
