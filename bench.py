@@ -17,6 +17,23 @@ BASELINE_SAMPLES_PER_SEC = 1050.0  # reference Colab GPU (BASELINE.md row 2)
 
 
 def main():
+    # The axon TPU tunnel intermittently fails large executables with an
+    # opaque InvalidArgument after heavy use and recovers after idle time
+    # (docs/BENCH_NOTES.md) — retry a few times before giving up.
+    last_err = None
+    for attempt in range(3):
+        try:
+            return _run()
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            print(f"bench attempt {attempt + 1} failed: {e}", file=sys.stderr)
+            time.sleep(180)
+    print(json.dumps({"metric": "flow_train_throughput", "value": 0.0,
+                      "unit": "samples/sec/chip", "vs_baseline": 0.0,
+                      "error": str(last_err)[:200]}))
+
+
+def _run():
     from flocoder_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import jax

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import copy
 import os
+import re
 import sys
 from typing import Any, Iterator, Mapping
 
@@ -126,8 +127,7 @@ def _deep_merge(base: Config, incoming: Mapping) -> Config:
     return base
 
 
-_FLOAT_RE = __import__("re").compile(
-    r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+_FLOAT_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 
 
 def _coerce_number(val: Any) -> Any:

@@ -42,13 +42,13 @@ __all__ = [
 def focal_loss(pred_logits, target_binary, alpha: float = 0.9,
                gamma: float = 2.0):
     """Binary focal loss on logits (reference: metrics.py:57-66)."""
-    bce = optax_sigmoid_bce(pred_logits, target_binary)
+    bce = sigmoid_bce(pred_logits, target_binary)
     p_t = jnp.exp(-bce)
     alpha_t = alpha * target_binary + (1 - alpha) * (1 - target_binary)
     return jnp.mean(alpha_t * (1 - p_t) ** gamma * bce)
 
 
-def optax_sigmoid_bce(logits, labels):
+def sigmoid_bce(logits, labels):
     """Numerically-stable sigmoid BCE (logits), elementwise."""
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
         jnp.exp(-jnp.abs(logits)))

@@ -17,8 +17,6 @@ from __future__ import annotations
 import glob
 import json
 import os
-import re
-import time
 from typing import Any, Optional
 
 import jax
