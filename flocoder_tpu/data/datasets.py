@@ -338,7 +338,13 @@ def create_image_loaders(batch_size: int, image_size: int, data_path: str,
           else image_transforms(image_size))
     path = os.path.expanduser(data_path)
     if os.path.isdir(path):
-        dataset = ImageFolderDataset(path, transform=tf)
+        if is_midi and fast_scandir(path, (".mid", ".midi"))[1]:
+            # raw MIDI corpus → convert to piano-roll images once, then
+            # treat as an image dataset (reference: data.py:195-283)
+            dataset = MIDIImageDataset(path, split="train", transform=tf,
+                                       num_workers=num_workers)
+        else:
+            dataset = ImageFolderDataset(path, transform=tf)
     else:
         dataset = SyntheticImageDataset(image_size=image_size, transform=tf)
 
