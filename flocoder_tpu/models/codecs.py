@@ -92,13 +92,22 @@ class SimpleResizeAE:
         h, w, c = self._latent_shape
         # antialias=False matches torch F.interpolate numerics (the
         # reference's resize path, codecs.py:598; parity test in
-        # tests/test_parity_torch.py)
-        return jax.image.resize(x, (b, h, w, c), method=self.method,
-                                antialias=False)
+        # tests/test_parity_torch.py). Extra latent channels are copies of
+        # the channel mean (reference: codecs.py:600-603), never spatial
+        # interpolation across the channel axis.
+        small = jax.image.resize(x, (b, h, w, x.shape[-1]),
+                                 method=self.method, antialias=False)
+        if c == x.shape[-1]:
+            return small
+        mean = jnp.mean(small, axis=-1, keepdims=True)
+        extra = jnp.repeat(mean, c - x.shape[-1], axis=-1)
+        return jnp.concatenate([small, extra], axis=-1)
 
     def decode(self, params, z, **_):
         b = z.shape[0]
         s = self.image_size
+        # only the first 3 channels decode (reference: codecs.py:611-613)
+        z = z[..., : min(3, z.shape[-1])]
         return jax.image.resize(z, (b, s, s, z.shape[-1]), method=self.method,
                                 antialias=False)
 
