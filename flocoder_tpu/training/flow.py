@@ -32,6 +32,22 @@ __all__ = ["FlowState", "create_flow_state", "make_flow_train_step",
            "make_flow_eval_step", "make_flow_optimizer"]
 
 
+def _default_donate() -> bool:
+    """Buffer donation is the TPU fast path (in-place state updates in HBM),
+    but it is disabled by default on two platforms where it misbehaves:
+    - virtual multi-device CPU: donation trips an XLA CPU collective
+      rendezvous abort;
+    - the experimental 'axon' single-chip tunnel: donated executables
+      intermittently fail with opaque INVALID_ARGUMENT after the first
+      program in a process (docs/ROADMAP.md gotchas).
+    Real TPU runtimes keep donation on."""
+    import jax as _jax
+    if _jax.default_backend() != "tpu":
+        return False
+    return "axon" not in str(_jax.config.jax_platforms or "")
+
+
+
 @struct.dataclass
 class FlowState:
     params: Any            # {'model': ..., 'mask_encoder': Optional[...]}
@@ -96,10 +112,7 @@ def make_flow_train_step(model_apply: Callable, tx,
     if remat:
         model_apply = jax.checkpoint(model_apply)
     if donate is None:
-        # Buffer donation is the TPU fast path (in-place state update in HBM);
-        # on the virtual multi-device CPU platform it trips an XLA CPU
-        # collective-rendezvous abort, so it defaults off there.
-        donate = jax.default_backend() != "cpu"
+        donate = _default_donate()
 
     def step_fn(state: FlowState, batch: dict, rng: jax.Array):
         if encode_fn is not None and "pixels" in batch:

@@ -30,6 +30,22 @@ __all__ = ["VQGANState", "create_vqgan_state", "make_vqgan_optimizers",
            "make_vqgan_eval_step"]
 
 
+def _default_donate() -> bool:
+    """Buffer donation is the TPU fast path (in-place state updates in HBM),
+    but it is disabled by default on two platforms where it misbehaves:
+    - virtual multi-device CPU: donation trips an XLA CPU collective
+      rendezvous abort;
+    - the experimental 'axon' single-chip tunnel: donated executables
+      intermittently fail with opaque INVALID_ARGUMENT after the first
+      program in a process (docs/ROADMAP.md gotchas).
+    Real TPU runtimes keep donation on."""
+    import jax as _jax
+    if _jax.default_backend() != "tpu":
+        return False
+    return "axon" not in str(_jax.config.jax_platforms or "")
+
+
+
 @struct.dataclass
 class VQGANState:
     params: Any        # {'encoder', 'decoder', 'vq': RVQState}
@@ -97,7 +113,7 @@ def make_vqgan_warmup_step(codec, tx_g, config,
                            donate: Optional[bool] = None):
     """Reconstruction-only phase (reference: train_vqgan.py:194-210)."""
     if donate is None:
-        donate = jax.default_backend() != "cpu"
+        donate = _default_donate()
     loss_fn = _generator_loss_fn(codec, config, perceptual_fn, None,
                                  use_gan=False, axis_name=axis_name)
 
@@ -132,7 +148,7 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
     feats)`` does not.
     """
     if donate is None:
-        donate = jax.default_backend() != "cpu"
+        donate = _default_donate()
 
     def step_fn(state: VQGANState, batch, rng):
         params = state.params

@@ -184,7 +184,8 @@ def train_flow(config):
     train_step = make_flow_train_step(
         model_apply, tx, mask_encoder_apply=mask_encoder_apply,
         ema_decay=float(ldcfg(config, "ema_decay", 0.999)),
-        encode_fn=encode_fn)
+        encode_fn=encode_fn,
+        donate=ldcfg(config, "donate", None))
     eval_step = make_flow_eval_step(model_apply,
                                     mask_encoder_apply=mask_encoder_apply)
 
