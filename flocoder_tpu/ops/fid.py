@@ -49,12 +49,18 @@ def sqrtm_newton_schulz(A: jax.Array, n_iters: int = 20) -> jax.Array:
 
 @jax.jit
 def frechet_distance(mu1, cov1, mu2, cov2) -> jax.Array:
-    """FID between two Gaussians: |μ1−μ2|² + tr(C1 + C2 − 2·sqrt(C1 C2))."""
+    """FID between two Gaussians: |μ1−μ2|² + tr(C1 + C2 − 2·sqrt(C1 C2)).
+
+    Covariances are regularized by a trace-relative ridge: with fewer samples
+    than feature dims (the usual eval case — e.g. 256 samples, 2048-d
+    features) the covariances are rank-deficient and the Newton–Schulz
+    iteration on C1·C2 diverges to NaN with only an absolute 1e-6 ridge.
+    The relative ridge biases FID slightly but identically for both inputs.
+    """
     diff = mu1 - mu2
-    # stabilize: sqrt((C1+eps)(C2+eps)) via symmetric-product trick
-    eps = 1e-6
     dim = cov1.shape[0]
-    off = eps * jnp.eye(dim, dtype=cov1.dtype)
+    scale = 0.5 * (jnp.trace(cov1) + jnp.trace(cov2)) / dim
+    off = (1e-3 * scale + 1e-8) * jnp.eye(dim, dtype=cov1.dtype)
     c1, c2 = cov1 + off, cov2 + off
     covmean = sqrtm_newton_schulz(c1 @ c2)
     tr = jnp.trace(c1) + jnp.trace(c2) - 2.0 * jnp.trace(covmean)

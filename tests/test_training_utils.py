@@ -142,3 +142,16 @@ def test_fid_properties():
     S = sqrtm_newton_schulz(A)
     np.testing.assert_allclose(np.asarray(S @ S), np.asarray(A), atol=1e-2,
                                rtol=1e-2)
+
+
+def test_fid_finite_in_rank_deficient_regime():
+    """256 samples × 2048-dim features (the standard eval shape) must not
+    NaN the Newton-Schulz sqrtm (regression: FID_px=nan in the TPU demo)."""
+    from flocoder_tpu.ops.fid import fid_score
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((256, 8, 8, 4)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((256, 8, 8, 4)).astype(np.float32))
+    d_near = float(fid_score(a, b))
+    d_far = float(fid_score(a, b + 3.0))
+    assert np.isfinite(d_near) and np.isfinite(d_far)
+    assert d_far > d_near >= 0
