@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from .codecs import gn_groups
+
 __all__ = ["SDVAE", "SDVAEEncoder", "SDVAEDecoder", "load_sd_vae_weights",
            "convert_diffusers_sd_vae"]
 
@@ -37,10 +39,12 @@ class _Resnet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype)(x)
+        h = nn.GroupNorm(num_groups=gn_groups(32, x.shape[-1]), epsilon=1e-6,
+                         dtype=self.dtype)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=gn_groups(32, h.shape[-1]), epsilon=1e-6,
+                         dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype)(h)
         if x.shape[-1] != self.out_ch:
@@ -54,7 +58,8 @@ class _Attn(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, hh, ww, c = x.shape
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype)(x)
+        h = nn.GroupNorm(num_groups=gn_groups(32, x.shape[-1]), epsilon=1e-6,
+                         dtype=self.dtype)(x)
         q = nn.Dense(c, dtype=self.dtype)(h).reshape(b, hh * ww, c)
         k = nn.Dense(c, dtype=self.dtype)(h).reshape(b, hh * ww, c)
         v = nn.Dense(c, dtype=self.dtype)(h).reshape(b, hh * ww, c)
@@ -67,23 +72,26 @@ class _Attn(nn.Module):
 
 class SDVAEEncoder(nn.Module):
     latent_channels: int = 4
+    channels: tuple = _CH   # (128,256,512,512) for sd-vae-ft-mse
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(_CH[0], (3, 3), padding=1, dtype=self.dtype)(x)
-        for i, ch in enumerate(_CH):
+        _ch = tuple(self.channels)
+        h = nn.Conv(_ch[0], (3, 3), padding=1, dtype=self.dtype)(x)
+        for i, ch in enumerate(_ch):
             h = _Resnet(ch, self.dtype)(h)
             h = _Resnet(ch, self.dtype)(h)
-            if i < len(_CH) - 1:
+            if i < len(_ch) - 1:
                 # asymmetric pad then stride-2 conv (diffusers downsample)
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
                 h = nn.Conv(ch, (3, 3), strides=2, padding="VALID",
                             dtype=self.dtype)(h)
-        h = _Resnet(_CH[-1], self.dtype)(h)
+        h = _Resnet(_ch[-1], self.dtype)(h)
         h = _Attn(self.dtype)(h)
-        h = _Resnet(_CH[-1], self.dtype)(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype)(h)
+        h = _Resnet(_ch[-1], self.dtype)(h)
+        h = nn.GroupNorm(num_groups=gn_groups(32, h.shape[-1]), epsilon=1e-6,
+                         dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
                     dtype=self.dtype)(h)
@@ -94,25 +102,28 @@ class SDVAEEncoder(nn.Module):
 class SDVAEDecoder(nn.Module):
     out_channels: int = 3
     latent_channels: int = 4
+    channels: tuple = _CH
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z):
+        _ch = tuple(self.channels)
         # post_quant_conv
         h = nn.Conv(self.latent_channels, (1, 1), dtype=self.dtype)(z)
-        h = nn.Conv(_CH[-1], (3, 3), padding=1, dtype=self.dtype)(h)
-        h = _Resnet(_CH[-1], self.dtype)(h)
+        h = nn.Conv(_ch[-1], (3, 3), padding=1, dtype=self.dtype)(h)
+        h = _Resnet(_ch[-1], self.dtype)(h)
         h = _Attn(self.dtype)(h)
-        h = _Resnet(_CH[-1], self.dtype)(h)
-        for i, ch in enumerate(reversed(_CH)):
+        h = _Resnet(_ch[-1], self.dtype)(h)
+        for i, ch in enumerate(reversed(_ch)):
             h = _Resnet(ch, self.dtype)(h)
             h = _Resnet(ch, self.dtype)(h)
             h = _Resnet(ch, self.dtype)(h)
-            if i < len(_CH) - 1:
+            if i < len(_ch) - 1:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
                 h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype)(h)
+        h = nn.GroupNorm(num_groups=gn_groups(32, h.shape[-1]), epsilon=1e-6,
+                         dtype=self.dtype)(h)
         h = nn.silu(h)
         return nn.Conv(self.out_channels, (3, 3), padding=1,
                        dtype=self.dtype)(h)
@@ -126,12 +137,13 @@ class SDVAE:
 
     def __init__(self, image_size: int = 128, latent_channels: int = 4,
                  weights_path: str = "weights/sd_vae_ft_mse.npz",
-                 dtype=jnp.float32):
+                 channels: tuple = _CH, dtype=jnp.float32):
         self.image_size = image_size
         self.latent_channels = latent_channels
         self.weights_path = weights_path
-        self.encoder = SDVAEEncoder(latent_channels, dtype)
-        self.decoder = SDVAEDecoder(3, latent_channels, dtype)
+        self.channels = tuple(channels)
+        self.encoder = SDVAEEncoder(latent_channels, self.channels, dtype)
+        self.decoder = SDVAEDecoder(3, latent_channels, self.channels, dtype)
 
     def init(self, rng, sample) -> dict:
         k_e, k_d = jax.random.split(rng)
