@@ -141,6 +141,12 @@ def rvq_apply(state: RVQState, z: jax.Array, train: bool = False,
     N = z.shape[0]
     zf = z.astype(jnp.float32)
 
+    # defensive device-array cast: checkpoint-restored states may carry numpy
+    # leaves, which cannot be fancy-indexed by tracers
+    state = RVQState(codebooks=jnp.asarray(state.codebooks),
+                     ema_counts=jnp.asarray(state.ema_counts),
+                     ema_sums=jnp.asarray(state.ema_sums),
+                     initted=jnp.asarray(state.initted))
     codebooks = state.codebooks
     if train and rng is not None:
         def do_init(cbs):

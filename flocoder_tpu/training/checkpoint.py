@@ -20,6 +20,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import to_dict, config_from_dict
@@ -127,9 +128,11 @@ def load_into_tree(template, state_dict: dict, strict: bool = True):
                 if strict:
                     raise ValueError(f"shape mismatch for {k}: {arr.shape} vs {v.shape}")
                 arr = v
-            flat_new[k] = arr.astype(v.dtype)
+            # restore as device arrays: numpy leaves break traced fancy
+            # indexing (e.g. RVQ codebook lookup under jit)
+            flat_new[k] = jnp.asarray(np.asarray(arr).astype(v.dtype))
         else:
-            flat_new[k] = v
+            flat_new[k] = jnp.asarray(v)
     nested = unflatten_tree(flat_new)
     leaves_new = [flat_new[k] for k in flat_t]  # same order as template flatten
     treedef = jax.tree_util.tree_structure(template)

@@ -167,9 +167,11 @@ def train_vqgan(config):
                               use_wandb=use_wandb, output_dir=output_dir)
             cb_tracker.reset_all()
 
-        if epoch % 50 == 0:
-            save_checkpoint(state.params, epoch=epoch, ckpt_dir="checkpoints",
-                            prefix="vqgan_", config=config, keep=5)
+        if epoch % int(cc.get("ckpt_every", 50)) == 0 or epoch == epochs:
+            path = save_checkpoint(state.params, epoch=epoch,
+                                   ckpt_dir="checkpoints", prefix="vqgan_",
+                                   config=config, keep=5)
+            print(f"  checkpoint -> {path}")
     if use_wandb:
         wblog.finish()
     return state
