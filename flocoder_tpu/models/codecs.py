@@ -481,6 +481,8 @@ def setup_codec(config, load_checkpoint: bool = True):
         return SDVAE(image_size=image_size)
     if choice in ("vqgan", "vqgan_plus"):
         kw = dict(
+            dtype=(jnp.bfloat16 if bool(ldcfg(config, "bf16", False))
+                   else jnp.float32),
             in_channels=in_channels,
             hidden_channels=ldcfg(config, "hidden_channels", 256),
             num_downsamples=ldcfg(config, "num_downsamples", 3),
