@@ -131,14 +131,23 @@ def generate_samples(config):
     apply_fn = lambda x, t, c: model.apply(params["model"], x, t, c)
     key = jax.random.PRNGKey(int(config.get("seed", 0)))
 
+    # +class_cond=N samples a single class; default is the 10-column class
+    # grid (when the model is class-conditional)
+    fixed_class = config.get("class_cond", None)
+
     done, batch_idx = 0, 0
     while done < n_samples:
         bs = min(batch_size, n_samples - done)
         key, k = jax.random.split(key)
         t0 = time.time()
+        cond = None
+        if fixed_class is not None and b["n_classes"] > 0:
+            import jax.numpy as jnp
+            cond = {"class_cond": jnp.full((bs,), int(fixed_class),
+                                           jnp.int32), "mask_cond": None}
         latents, decoded, nfe = sampler(
             apply_fn, b["codec"], b["codec_params"], k, method=method,
-            batch_size=bs, n_steps=n_steps, cond=None,
+            batch_size=bs, n_steps=n_steps, cond=cond,
             n_classes=b["n_classes"], latent_shape=b["latent_shape"],
             cfg_strength=cfg_strength, is_midi=is_midi, keep_gray=keep_gray)
         decoded = np.asarray(decoded)
