@@ -47,6 +47,11 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
 
     init_latents = None
     if init_image is not None:
+        if isinstance(init_image, str):
+            # file-path init images (reference: sampling.py:204-208)
+            from PIL import Image
+            img = Image.open(init_image).convert("RGB")
+            init_image = jnp.asarray(np.asarray(img, np.float32) / 255.0)[None]
         init_latents = codec.encode(codec_params, init_image)
         if init_latents.shape[0] == 1 and batch_size > 1:
             init_latents = jnp.tile(init_latents, (batch_size, 1, 1, 1))
@@ -106,12 +111,14 @@ def evaluate_model(model_apply: Callable, codec, codec_params, epoch: int,
                                      feature_fn=feature_fn)
 
     if cb_tracker is not None and codec_quantize is not None:
-        # Track target + generated latent codebook usage
-        # (reference: sampling.py:277-292)
+        # Track target + generated latent codebook usage, then run the
+        # usage analysis (reference: sampling.py:277-292)
         _, idx_t, _, _ = codec_quantize(target_latents[:batch_size])
         cb_tracker.update_counts("val", idx_t.reshape(-1, idx_t.shape[-1]))
         _, idx_g, _, _ = codec_quantize(pred_latents)
         cb_tracker.update_counts("gen", idx_g.reshape(-1, idx_g.shape[-1]))
+        cb_tracker.analyze(None, epoch, use_wandb=use_wandb,
+                           output_dir=output_dir)
 
     images = {"pred_latents": pred_latents,
               "target_latents": target_latents[:batch_size],
