@@ -105,6 +105,9 @@ def evaluate_model(model_apply: Callable, codec, codec_params, epoch: int,
     decoded_target = decode_latents(codec, codec_params,
                                     target_latents[:batch_size],
                                     is_midi=is_midi, keep_gray=keep_gray)
+    if feature_fn is None:
+        from .ops.fid import default_feature_fn
+        feature_fn = default_feature_fn(image_size=decoded_target.shape[1])
     metrics = compute_sample_metrics(pred_latents,
                                      target_latents[:batch_size],
                                      decoded_pred, decoded_target,
@@ -140,10 +143,15 @@ def evaluate_model(model_apply: Callable, codec, codec_params, epoch: int,
                       tag=f"{tag}{key}_{method}_{nfe}",
                       use_wandb=use_wandb, output_dir=output_dir)
 
+    out = {k: float(v) for k, v in metrics.items()}
+    # stamp the FID feature backend so logged FIDs are never mistaken for
+    # reference-comparable ones unless backed by converted Inception weights
+    from .ops.fid import feature_backend_name
+    out["FID_feature_backend"] = feature_backend_name(feature_fn)
     if use_wandb and metrics:
-        wblog.log({f"metrics/{tag}{k}": v for k, v in metrics.items()}
+        wblog.log({f"metrics/{tag}{k}": v for k, v in out.items()}
                   | {"epoch": epoch})
-    return {k: float(v) for k, v in metrics.items()}
+    return out
 
 
 def make_e2e_sampler(model_apply_p: Callable, codec, latent_shape,

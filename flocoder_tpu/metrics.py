@@ -117,6 +117,23 @@ def discriminator_loss(disc_apply: Callable, disc_params, real_images,
     return hinge_d_loss(real_pred, fake_pred), real_features
 
 
+def lecam_loss(d_real, d_fake, reg_weight: float = 0.001):
+    """LeCAM regularization (reference: vqgan_plus.py:260-262)."""
+    return reg_weight * (jnp.mean(jax.nn.relu(1.0 + d_real)) +
+                         jnp.mean(jax.nn.relu(1.0 - d_fake)))
+
+
+def discriminator_loss_lecam(disc_apply: Callable, disc_params, real_images,
+                             fake_images, reg_weight: float = 0.001):
+    """Hinge D loss + LeCAM regularization (reference:
+    VQGANPlusAdversarialLoss.discriminator_loss, vqgan_plus.py:288-299).
+    Returns (d_loss, real_features)."""
+    real_pred, real_features = disc_apply(disc_params, real_images)
+    fake_pred, _ = disc_apply(disc_params, jax.lax.stop_gradient(fake_images))
+    return (hinge_d_loss(real_pred, fake_pred) +
+            lecam_loss(real_pred, fake_pred, reg_weight), real_features)
+
+
 def generator_loss(disc_apply: Callable, disc_params, fake_images,
                    real_features=None):
     """Non-saturating hinge G loss + optional feature matching
@@ -226,6 +243,9 @@ def compute_sample_metrics(pred_latents, target_latents, decoded_pred,
     bs = min(pred_latents.shape[0], target_latents.shape[0])
     pl, tl = pred_latents[:bs], target_latents[:bs]
     decoded_pred = normalize_recon(decoded_target, decoded_pred)
+    if feature_fn is None:
+        from .ops.fid import default_feature_fn
+        feature_fn = default_feature_fn(image_size=decoded_target.shape[1])
     return {
         "FID_px": fid_score(decoded_target, decoded_pred,
                             feature_fn=feature_fn),

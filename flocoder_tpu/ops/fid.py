@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["frechet_distance", "fid_score", "fid_score_chunked",
-           "make_random_projection_features", "sqrtm_newton_schulz"]
+           "make_random_projection_features", "sqrtm_newton_schulz",
+           "default_feature_fn", "feature_backend_name"]
 
 
 def sqrtm_newton_schulz(A: jax.Array, n_iters: int = 20) -> jax.Array:
@@ -47,22 +48,31 @@ def sqrtm_newton_schulz(A: jax.Array, n_iters: int = 20) -> jax.Array:
     return Y * jnp.sqrt(norm)
 
 
-@jax.jit
-def frechet_distance(mu1, cov1, mu2, cov2) -> jax.Array:
+@partial(jax.jit, static_argnames=("n_sqrt_iters",))
+def frechet_distance(mu1, cov1, mu2, cov2, eps_rel: float = 1e-3,
+                     n_sqrt_iters: int = 20) -> jax.Array:
     """FID between two Gaussians: |μ1−μ2|² + tr(C1 + C2 − 2·sqrt(C1 C2)).
 
-    Covariances are regularized by a trace-relative ridge: with fewer samples
-    than feature dims (the usual eval case — e.g. 256 samples, 2048-d
-    features) the covariances are rank-deficient and the Newton–Schulz
+    Covariances are regularized by a trace-relative ridge (``eps_rel``): with
+    fewer samples than feature dims (the usual eval case — e.g. 256 samples,
+    2048-d features) the covariances are rank-deficient and the Newton–Schulz
     iteration on C1·C2 diverges to NaN with only an absolute 1e-6 ridge.
-    The relative ridge biases FID slightly but identically for both inputs.
+    The relative ridge biases FID slightly but identically for both inputs;
+    pass eps_rel=0.0 for the exact torchmetrics/scipy formula when the
+    covariances are full-rank (parity verified in tests/test_fid_parity.py
+    against scipy.linalg.sqrtm and the torchmetrics eigenvalue formulation,
+    reference: metrics.py:265-308).
+
+    n_sqrt_iters: Newton–Schulz diverges in fp32 past ~20 iterations on
+    rank-deficient inputs (measured: fine at 20, -7e6 at 25, NaN at 30 for a
+    16-sample 256-dim case) — keep ≤20 unless inputs are full-rank.
     """
     diff = mu1 - mu2
     dim = cov1.shape[0]
     scale = 0.5 * (jnp.trace(cov1) + jnp.trace(cov2)) / dim
-    off = (1e-3 * scale + 1e-8) * jnp.eye(dim, dtype=cov1.dtype)
+    off = (eps_rel * scale + 1e-10) * jnp.eye(dim, dtype=cov1.dtype)
     c1, c2 = cov1 + off, cov2 + off
-    covmean = sqrtm_newton_schulz(c1 @ c2)
+    covmean = sqrtm_newton_schulz(c1 @ c2, n_iters=n_sqrt_iters)
     tr = jnp.trace(c1) + jnp.trace(c2) - 2.0 * jnp.trace(covmean)
     return jnp.dot(diff, diff) + tr
 
@@ -92,29 +102,52 @@ def make_random_projection_features(dim: int = 2048, seed: int = 0,
         key = jax.random.PRNGKey(seed)
         W = jax.random.normal(key, (flat.shape[1], dim)) / jnp.sqrt(flat.shape[1])
         return jnp.tanh(flat @ W)
+    feature_fn.backend_name = f"rp{dim}"
     return feature_fn
 
 
+def default_feature_fn(image_size: int = 128) -> Callable:
+    """The feature backend used when none is supplied: the flax FID-Inception
+    extractor when converted weights exist on disk
+    (``weights/fid_inception.npz`` — reference-comparable FID,
+    metrics.py:265-308), else the deterministic random-projection stand-in.
+    The returned fn carries ``backend_name`` so every logged FID can be
+    stamped with the backend that produced it."""
+    import os
+    if os.path.exists("weights/fid_inception.npz"):
+        from ..models.inception import make_inception_feature_fn
+        return make_inception_feature_fn()
+    return make_random_projection_features(image_size=image_size)
+
+
+def feature_backend_name(feature_fn: Optional[Callable]) -> str:
+    if feature_fn is None:
+        return getattr(default_feature_fn(), "backend_name", "unknown")
+    return getattr(feature_fn, "backend_name", "custom")
+
+
 def fid_score(real: jax.Array, fake: jax.Array,
-              feature_fn: Optional[Callable] = None) -> jax.Array:
+              feature_fn: Optional[Callable] = None,
+              eps_rel: float = 1e-3) -> jax.Array:
     """FID between two image batches (NHWC, [-1,1] or uint8 range)
     (reference API: metrics.py:291-308; gray inputs are channel-repeated
     there — handled by the feature_fn operating on any channel count)."""
     if feature_fn is None:
-        feature_fn = make_random_projection_features()
+        feature_fn = default_feature_fn()
     f_real = feature_fn(real)
     f_fake = feature_fn(fake)
     mu1, c1 = _stats(f_real)
     mu2, c2 = _stats(f_fake)
-    return frechet_distance(mu1, c1, mu2, c2)
+    return frechet_distance(mu1, c1, mu2, c2, eps_rel=eps_rel)
 
 
 def fid_score_chunked(real, fake, feature_fn: Optional[Callable] = None,
-                      chunk_size: int = 128) -> jax.Array:
+                      chunk_size: int = 128,
+                      eps_rel: float = 1e-3) -> jax.Array:
     """Chunked feature extraction to bound memory (reference:
     metrics.py:265-288), exact same statistics as unchunked."""
     if feature_fn is None:
-        feature_fn = make_random_projection_features()
+        feature_fn = default_feature_fn()
 
     def feats(x):
         outs = [feature_fn(x[i:i + chunk_size])
@@ -123,4 +156,4 @@ def fid_score_chunked(real, fake, feature_fn: Optional[Callable] = None,
 
     mu1, c1 = _stats(feats(real))
     mu2, c2 = _stats(feats(fake))
-    return frechet_distance(mu1, c1, mu2, c2)
+    return frechet_distance(mu1, c1, mu2, c2, eps_rel=eps_rel)
