@@ -28,7 +28,7 @@ from flax import linen as nn
 from .codecs import gn_groups
 
 __all__ = ["SDVAE", "SDVAEEncoder", "SDVAEDecoder", "load_sd_vae_weights",
-           "convert_diffusers_sd_vae"]
+           "convert_sd_vae_state_dict", "convert_diffusers_sd_vae"]
 
 _CH = (128, 256, 512, 512)
 
@@ -193,18 +193,12 @@ def load_sd_vae_weights(path: str, template: dict) -> Optional[dict]:
         return None
 
 
-def convert_diffusers_sd_vae(out_path: str = "weights/sd_vae_ft_mse.npz",
-                             model_name: str = "stabilityai/sd-vae-ft-mse"):
-    """One-time converter (requires network + torch + diffusers): maps the
-    diffusers AutoencoderKL state dict onto this module's parameter tree and
-    saves the flat npz that ``load_sd_vae_weights`` consumes. Run on a
-    machine with egress; ship only the npz."""
-    from diffusers.models import AutoencoderKL  # type: ignore
-    import torch  # noqa
-
-    vae = AutoencoderKL.from_pretrained(model_name)
-    sd = {k: v.detach().numpy() for k, v in vae.state_dict().items()}
-
+def convert_sd_vae_state_dict(sd: dict) -> dict:
+    """Map a diffusers-format AutoencoderKL state dict (numpy values, keys
+    like ``encoder.down_blocks.0.resnets.0.conv1.weight``) onto this module's
+    flat parameter paths. Pure mapping — proven against a randomly
+    initialized torch AutoencoderKL oracle in tests/test_parity_sd_vae.py,
+    so the converter is trusted the moment real weights can be fetched."""
     def conv(w):  # OIHW → HWIO
         return np.transpose(w, (2, 3, 1, 0))
 
@@ -297,7 +291,20 @@ def convert_diffusers_sd_vae(out_path: str = "weights/sd_vae_ft_mse.npz",
        sd["decoder.conv_norm_out.bias"])
     put(f"{d}/Conv_{conv_i}", sd["decoder.conv_out.weight"],
         sd["decoder.conv_out.bias"])
+    return flat
 
+
+def convert_diffusers_sd_vae(out_path: str = "weights/sd_vae_ft_mse.npz",
+                             model_name: str = "stabilityai/sd-vae-ft-mse"):
+    """One-time converter (requires network + torch + diffusers): fetches the
+    pretrained AutoencoderKL, converts with ``convert_sd_vae_state_dict`` and
+    saves the flat npz that ``load_sd_vae_weights`` consumes. Run on a
+    machine with egress; ship only the npz."""
+    from diffusers.models import AutoencoderKL  # type: ignore
+
+    vae = AutoencoderKL.from_pretrained(model_name)
+    sd = {k: v.detach().numpy() for k, v in vae.state_dict().items()}
+    flat = convert_sd_vae_state_dict(sd)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     np.savez_compressed(out_path, **flat)
     print(f"wrote {out_path} ({len(flat)} arrays)")
