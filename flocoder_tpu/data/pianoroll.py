@@ -382,11 +382,13 @@ def stack_piano_rolls(img: Image.Image,
 # --------------------------------------------------------------------------
 
 def calc_note_metrics(pred: np.ndarray, target: np.ndarray,
-                      threshold: float = 0.4, keep_gray: bool = False
-                      ) -> Dict[str, float]:
+                      threshold: float = 0.4, keep_gray: bool = False,
+                      return_images: bool = False):
     """Onset/sustain sensitivity, specificity, precision, F1 on binarized
-    NHWC piano-roll images. Returns metrics dict (the reference also returns
-    TP/FP/FN mask images; compose those with metrics.g2rgb as needed)."""
+    NHWC piano-roll images (reference: metrics.py:362-455). With
+    ``return_images`` also returns the reference's per-pixel diagnostic
+    images (metrics.py:396-455): ``{name}_{tp,tn,fp,fn}`` white masks and
+    ``{name}_targpred`` (red=target, green=pred) as NHWC float arrays."""
     from ..metrics import g2rgb
     import jax.numpy as jnp
     pred = np.asarray(g2rgb(jnp.asarray(pred), keep_gray=keep_gray))
@@ -398,14 +400,23 @@ def calc_note_metrics(pred: np.ndarray, target: np.ndarray,
     pb = pred_u > threshold
     tb = targ_u > threshold
     out = {}
+    images = {}
     for channel, name in ((0, "onset"), (1, "sustain")):
         p, t = pb[..., channel], tb[..., channel]
-        tp = float(np.sum(p & t))
-        tn = float(np.sum(~p & ~t))
-        fp = float(np.sum(p & ~t))
-        fn = float(np.sum(~p & t))
+        masks = {"tp": p & t, "tn": ~p & ~t, "fp": p & ~t, "fn": ~p & t}
+        tp, tn = float(masks["tp"].sum()), float(masks["tn"].sum())
+        fp, fn = float(masks["fp"].sum()), float(masks["fn"].sum())
         out[f"{name}_sensitivity"] = tp / (tp + fn + 1e-8)
         out[f"{name}_specificity"] = tn / (tn + fp + 1e-8)
         out[f"{name}_precision"] = tp / (tp + fp + 1e-8)
         out[f"{name}_f1"] = 2 * tp / (2 * tp + fp + fn + 1e-8)
+        if return_images:
+            for k, m in masks.items():
+                images[f"{name}_{k}"] = np.repeat(
+                    m[..., None].astype(np.float32), 3, axis=-1)
+            images[f"{name}_targpred"] = np.stack(
+                [t.astype(np.float32), p.astype(np.float32),
+                 np.zeros_like(t, np.float32)], axis=-1)
+    if return_images:
+        return out, images
     return out

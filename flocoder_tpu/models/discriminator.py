@@ -20,8 +20,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["PatchDiscriminator", "VQGANPlusPatchDiscriminator",
-           "DiscrResBlock", "GaussianBlur", "init_discriminator",
-           "make_disc_apply"]
+           "VQGANPlusDiscriminator", "DiscrResBlock", "GaussianBlur",
+           "init_discriminator", "make_disc_apply"]
 
 
 class GaussianBlur(nn.Module):
@@ -130,6 +130,38 @@ class VQGANPlusPatchDiscriminator(nn.Module):
                     h, update_stats=update_stats)
             features.append(h)
             cur = nxt
+        logits = _sn(nn.Conv(1, (3, 3), padding=1, dtype=self.dtype))(
+            h, update_stats=update_stats)
+        return logits, features
+
+
+class VQGANPlusDiscriminator(nn.Module):
+    """The full VQGAN+ discriminator (reference: vqgan_plus.py:191-229) —
+    distinct from the patch variant above: base_channels=128, all resblocks
+    stride-1, spatial downsampling done ONLY by the stride-2 GaussianBlur
+    before each non-final block; features tapped after the stem LeakyReLU and
+    after every resblock. Pairs with the LeCAM-regularized adversarial loss
+    (metrics.discriminator_loss_lecam; reference: vqgan_plus.py:270-299)."""
+    in_channels: int = 3
+    base_channels: int = 128
+    n_layers: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False
+                 ) -> Tuple[jax.Array, List[jax.Array]]:
+        features = []
+        h = _sn(nn.Conv(self.base_channels, (3, 3), padding=1,
+                        dtype=self.dtype))(x, update_stats=update_stats)
+        h = nn.leaky_relu(h, 0.2)
+        features.append(h)
+        for i in range(self.n_layers):
+            nxt = min(self.base_channels * (2 ** (i + 1)), 512)
+            if i < self.n_layers - 1:
+                h = GaussianBlur()(h)
+            h = DiscrResBlock(nxt, stride=1, dtype=self.dtype)(
+                h, update_stats=update_stats)
+            features.append(h)
         logits = _sn(nn.Conv(1, (3, 3), padding=1, dtype=self.dtype))(
             h, update_stats=update_stats)
         return logits, features

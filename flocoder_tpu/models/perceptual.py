@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-__all__ = ["VGG16Features", "make_perceptual_fn", "load_vgg16_weights"]
+__all__ = ["VGG16Features", "make_perceptual_fn", "load_vgg16_weights",
+           "ResNet50Logits", "convert_torch_resnet50",
+           "load_resnet50_weights", "make_resnet50_perceptual_fn"]
 
 # torchvision vgg16.features[:16]: channel plan per conv, 'M' = maxpool
 _VGG16_PLAN = (64, 64, "M", 128, 128, "M", 256, 256, 256)
@@ -78,3 +80,148 @@ def make_perceptual_fn(image_size: int = 128, weights_path: str =
         return model.apply(variables, x)
 
     return feature_fn
+
+
+# ---------------------------------------------------------------------------
+# ResNet50 logits perceptual loss (reference: metrics.py:119-142,
+# vqgan_plus.py:232-257 — inactive in the reference's live training path,
+# provided for inventory parity; selectable via perceptual="resnet50")
+
+class _Bottleneck(nn.Module):
+    """torchvision Bottleneck: 1×1 → 3×3(stride) → 1×1(4×), BN-inference."""
+    width: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        def bn(h, name):
+            return nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                                dtype=self.dtype, name=name)(h)
+        out_ch = self.width * 4
+        h = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        h = nn.relu(bn(h, "bn1"))
+        h = nn.Conv(self.width, (3, 3), strides=self.stride, padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(h)
+        h = nn.relu(bn(h, "bn2"))
+        h = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(h)
+        h = bn(h, "bn3")
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            x = nn.Conv(out_ch, (1, 1), strides=self.stride, use_bias=False,
+                        dtype=self.dtype, name="downsample_conv")(x)
+            x = bn(x, "downsample_bn")
+        return nn.relu(x + h)
+
+
+class ResNet50Logits(nn.Module):
+    """ResNet50 through the classifier → (N, 1000) logits. Submodule names
+    mirror torchvision's so ``convert_torch_resnet50`` is mechanical."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        h = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                         dtype=self.dtype, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for li, (blocks, width) in enumerate([(3, 64), (4, 128),
+                                              (6, 256), (3, 512)]):
+            for b in range(blocks):
+                stride = 2 if (b == 0 and li > 0) else 1
+                h = _Bottleneck(width, stride, dtype=self.dtype,
+                                name=f"layer{li + 1}_{b}")(h)
+        h = jnp.mean(h, axis=(1, 2))
+        return nn.Dense(1000, dtype=self.dtype, name="fc")(h)
+
+
+def convert_torch_resnet50(state_dict) -> dict:
+    """Map a torchvision resnet50 state_dict onto ResNet50Logits variables.
+    Run once where weights exist; save with np.savez and load with
+    ``load_resnet50_weights``."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf, v):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = jnp.asarray(v)
+
+    for key, val in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        v = np.asarray(getattr(val, "numpy", lambda: val)())
+        parts = key.split(".")
+        if parts[0].startswith("layer"):
+            # layer1.0.conv1.weight → layer1_0 / conv1
+            mod = [f"{parts[0]}_{parts[1]}"]
+            sub, leaf = parts[2], parts[3]
+            if sub == "downsample":
+                sub = "downsample_conv" if parts[3] == "0" else "downsample_bn"
+                leaf = parts[4]
+        else:
+            mod, sub, leaf = [], parts[0], parts[-1]
+        if sub.startswith("conv") or sub == "downsample_conv":
+            put(params, mod + [sub], "kernel", v.transpose(2, 3, 1, 0))
+        elif sub == "fc":
+            put(params, mod + [sub],
+                "kernel" if leaf == "weight" else "bias",
+                v.T if leaf == "weight" else v)
+        else:  # batchnorm
+            if leaf in ("weight", "bias"):
+                put(params, mod + [sub],
+                    "scale" if leaf == "weight" else "bias", v)
+            elif leaf == "running_mean":
+                put(stats, mod + [sub], "mean", v)
+            elif leaf == "running_var":
+                put(stats, mod + [sub], "var", v)
+    return {"params": params, "batch_stats": stats}
+
+
+def load_resnet50_weights(path: str) -> Optional[dict]:
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    tree: dict = {}
+    for key, v in flat.items():
+        *parts, leaf = key.split("/")
+        node = tree
+        for p in parts:
+            node = node.setdefault(p, {})
+        node[leaf] = jnp.asarray(v)
+    return tree
+
+
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def make_resnet50_perceptual_fn(
+        weights_path: str = "weights/resnet50_imagenet.npz", seed: int = 0):
+    """Build ``loss_fn(img1, img2) -> scalar`` — MSE between ResNet50 logits
+    of ImageNet-normalized [0,1] images (reference: metrics.py:119-142).
+    Gradients are stopped through the network (the reference computes logits
+    under no_grad)."""
+    model = ResNet50Logits()
+    variables = load_resnet50_weights(weights_path)
+    if variables is None:
+        variables = model.init(jax.random.PRNGKey(seed),
+                               jnp.zeros((1, 64, 64, 3)))
+
+    mean = jnp.asarray(_IMAGENET_MEAN)
+    std = jnp.asarray(_IMAGENET_STD)
+
+    def loss_fn(img1, img2):
+        def logits(img):
+            x = (img - mean) / std
+            return model.apply(variables, x)
+        l1 = jax.lax.stop_gradient(logits(img1))
+        l2 = jax.lax.stop_gradient(logits(img2))
+        return jnp.mean((l1 - l2) ** 2)
+
+    return loss_fn

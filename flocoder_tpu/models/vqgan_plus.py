@@ -33,10 +33,10 @@ def multipliers_for(num_downsamples: int) -> Tuple[int, ...]:
     return tuple([1] + [2 ** min(i, 2) for i in range(num_downsamples - 1)])
 
 
-def lecam_loss(d_real, d_fake, reg_weight: float = 0.001):
-    """LeCAM discriminator regularization (reference: vqgan_plus.py:260-262)."""
-    return reg_weight * (jnp.mean(jax.nn.relu(1.0 + d_real)) +
-                         jnp.mean(jax.nn.relu(1.0 - d_fake)))
+# canonical definition lives in metrics (wired into the GAN step via
+# metrics.discriminator_loss_lecam); re-exported here for API parity with
+# the reference's vqgan_plus module (vqgan_plus.py:260-262)
+from ..metrics import lecam_loss  # noqa: E402,F401
 
 
 class VQGANPlusResidualBlock(nn.Module):

@@ -23,7 +23,7 @@ import optax
 from flax import struct
 
 from ..metrics import (compute_vqgan_losses, get_total_vqgan_loss,
-                       hinge_d_loss, feature_matching_loss)
+                       hinge_d_loss, feature_matching_loss, lecam_loss)
 
 __all__ = ["VQGANState", "create_vqgan_state", "make_vqgan_optimizers",
            "make_vqgan_warmup_step", "make_vqgan_gan_step",
@@ -139,14 +139,17 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
                         tx_d, config,
                         perceptual_fn: Optional[Callable] = None,
                         axis_name: Optional[str] = None,
-                        donate: Optional[bool] = None):
+                        donate: Optional[bool] = None,
+                        lecam_weight: float = 0.0):
     """GAN phase: D step then G step in one executable
     (reference: train_vqgan.py:213-246).
 
     ``disc_apply_train(vars, x) -> ((logits, feats), new_vars)`` advances the
     spectral-norm power iteration; ``disc_apply_eval(vars, x) -> (logits,
-    feats)`` does not.
-    """
+    feats)`` does not. ``lecam_weight > 0`` adds LeCAM regularization to the
+    D loss (reference: VQGANPlusAdversarialLoss, vqgan_plus.py:288-299 —
+    inactive in the reference's live trainer, selectable here via the
+    ``lecam_weight`` config key)."""
     if donate is None:
         donate = _default_donate()
 
@@ -176,8 +179,11 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
             (real_pred, real_features), new_vars = disc_apply_train(dv, batch)
             (fake_pred, _), new_vars = disc_apply_train(new_vars | {
                 "params": d_params}, fake)
-            return hinge_d_loss(real_pred, fake_pred), (new_vars,
-                                                        real_features)
+            d_loss = hinge_d_loss(real_pred, fake_pred)
+            if lecam_weight > 0:
+                d_loss = d_loss + lecam_loss(real_pred, fake_pred,
+                                             lecam_weight)
+            return d_loss, (new_vars, real_features)
 
         (d_loss, (new_disc_vars, real_features)), d_grads = \
             jax.value_and_grad(d_loss_fn, has_aux=True)(

@@ -82,7 +82,15 @@ def train_vqgan(config):
                                 strict=False)
         print(f"resumed codec from {resume} (epoch {ck['epoch']})")
 
-    disc = VQGANPlusPatchDiscriminator(in_channels=in_channels)
+    # discriminator choice: 'patch' (the variant the reference trains with,
+    # metrics.py:220) or 'vqgan_plus' (the full VQGANPlusDiscriminator,
+    # vqgan_plus.py:191-229, paired with LeCAM via lecam_weight)
+    disc_choice = str(ldcfg(config, "discriminator", "patch"))
+    if disc_choice == "vqgan_plus":
+        from flocoder_tpu.models.discriminator import VQGANPlusDiscriminator
+        disc = VQGANPlusDiscriminator(in_channels=in_channels)
+    else:
+        disc = VQGANPlusPatchDiscriminator(in_channels=in_channels)
     rng, k_disc = jax.random.split(rng)
     disc_vars = init_discriminator(disc, k_disc, sample)
     disc_apply_train = make_disc_apply(disc, update_stats=True)
@@ -98,7 +106,9 @@ def train_vqgan(config):
     warmup_step = make_vqgan_warmup_step(codec, tx_g, config, perceptual_fn)
     gan_step = make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train,
                                    disc_apply_eval, tx_d, config,
-                                   perceptual_fn)
+                                   perceptual_fn,
+                                   lecam_weight=float(
+                                       ldcfg(config, "lecam_weight", 0.0)))
     eval_step = make_vqgan_eval_step(codec, config, perceptual_fn)
 
     use_wandb = not no_wandb
@@ -156,11 +166,17 @@ def train_vqgan(config):
                           output_dir=output_dir, ncols=n_demo)
             if is_midi:
                 from flocoder_tpu.data.pianoroll import calc_note_metrics
-                nm = calc_note_metrics(np.asarray(recon), np.asarray(x),
-                                       keep_gray=in_channels == 1)
+                nm, nm_images = calc_note_metrics(
+                    np.asarray(recon), np.asarray(x),
+                    keep_gray=in_channels == 1, return_images=True)
                 if use_wandb:
                     wblog.log({f"note_metrics/{k}": v for k, v in nm.items()}
                               | {"epoch": epoch})
+                # TP/FP/FN diagnostic grids (reference: train_vqgan.py:306-310)
+                for k, img in nm_images.items():
+                    save_img_grid(img[:n_demo], epoch, tag=f"metric_{k}",
+                                  use_wandb=use_wandb, output_dir=output_dir,
+                                  ncols=n_demo)
 
         if epoch % 10 == 0:
             analyze_codebooks(cb_tracker, state.params["vq"], epoch,
