@@ -95,7 +95,8 @@ def make_flow_train_step(model_apply: Callable, tx,
                          mask_identity_weight: float = 1.0,
                          remat: bool = False,
                          encode_fn: Optional[Callable] = None,
-                         donate: Optional[bool] = None):
+                         donate: Optional[bool] = None,
+                         mesh=None, axis_name: Optional[str] = None):
     """Build the jitted train step.
 
     ``model_apply(params, x, t_vec, cond)`` and (optionally)
@@ -108,11 +109,22 @@ def make_flow_train_step(model_apply: Callable, tx,
     INSIDE the same XLA executable as the flow step (the reference's
     pre_encoded=False branch, train_flow.py:253-262, runs the codec in a
     separate host-driven pass).
-    """
+
+    ``mesh``: when given, the step is built with ``shard_map`` over the
+    mesh's 'data' axis with EXPLICIT shardings — batch sharded on the
+    leading dim, params/optimizer/EMA replicated, gradients ``pmean``-reduced
+    over ICI. OT pairing then runs PER SHARD (each device pairs only its own
+    sub-batch — statistically equivalent minibatch-OT with ZERO cross-device
+    gathers, vs. the global ``target[idx]`` gather the plain-jit path implies
+    on a real mesh). Per-shard noise/t draws fold the axis index into the
+    rng; the CFG dropout gate stays batch-global (reference semantics:
+    train_flow.py:344-346 drops the whole batch)."""
     if remat:
         model_apply = jax.checkpoint(model_apply)
     if donate is None:
         donate = _default_donate()
+    if mesh is not None and axis_name is None:
+        axis_name = "data"
 
     def step_fn(state: FlowState, batch: dict, rng: jax.Array):
         if encode_fn is not None and "pixels" in batch:
@@ -122,6 +134,13 @@ def make_flow_train_step(model_apply: Callable, tx,
         class_cond_in = batch.get("class_cond")
         B = target_in.shape[0]
         k_noise, k_gate, k_cfgnoise, k_t = jax.random.split(rng, 4)
+        if axis_name is not None:
+            # distinct noise per shard; the gate key stays global so the
+            # whole (global) batch drops conditioning together
+            ax = jax.lax.axis_index(axis_name)
+            k_noise = jax.random.fold_in(k_noise, ax)
+            k_cfgnoise = jax.random.fold_in(k_cfgnoise, ax)
+            k_t = jax.random.fold_in(k_t, ax)
         noise = jax.random.normal(k_noise, target_in.shape, target_in.dtype)
         drop = jax.random.uniform(k_gate) < cfg_dropout
 
@@ -187,6 +206,11 @@ def make_flow_train_step(model_apply: Callable, tx,
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            # the one collective of the step: grad (+scalar-metric) reduction
+            # over ICI; the optimizer/EMA update then runs replicated
+            grads = jax.lax.pmean(grads, axis_name)
+            aux = jax.lax.pmean(aux, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = ema_update(state.ema, params, ema_decay)
@@ -194,6 +218,16 @@ def make_flow_train_step(model_apply: Callable, tx,
                               step=state.step + 1)
         aux["grad_norm"] = optax.global_norm(grads)
         return new_state, aux
+
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        sharded = shard_map(
+            step_fn, mesh=mesh,
+            in_specs=(P(), P(axis_name), P()),   # state repl, batch sharded,
+            out_specs=(P(), P()),                # rng repl → repl outputs
+            check_rep=False)
+        return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
