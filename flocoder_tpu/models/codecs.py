@@ -284,7 +284,8 @@ class VQVAEEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 stop_before_compress: bool = False):
         h = x
         attention = None
         for i in range(self.num_downsamples):
@@ -301,6 +302,11 @@ class VQVAEEncoder(nn.Module):
                                 attention=attention, dropout_rate=0.15,
                                 dtype=self.dtype)(h, deterministic)
         h = nn.Conv(self.internal_dim, (1, 1), dtype=self.dtype)(h)
+        if stop_before_compress:
+            # hand-off point for the Pallas fused compress+VQ kernel
+            # (ops.pallas.fused_vq.fused_compress_tail_vq consumes the
+            # compression-head params directly)
+            return h
         # compression head (reference: codecs.py:435-440)
         h = nn.Conv(self.vq_embedding_dim, (1, 1), dtype=self.dtype)(h)
         h = nn.GroupNorm(num_groups=gn_groups(2, self.vq_embedding_dim), epsilon=1e-5,
@@ -422,6 +428,27 @@ class VQVAE:
             commitment_weight=self.commitment_weight, axis_name=axis_name)
         return (z_q.reshape(b, h, w, c), idx.reshape(b, h, w, -1), loss,
                 new_vq)
+
+    def encode_quantize_fused(self, params, x, tile_b: int = 8):
+        """Inference-path encode+quantize with the compression tail and RVQ
+        search fused in ONE Pallas kernel (1×1 → GN → SiLU → 3×3 → L VQ
+        levels, no HBM round-trips between stages; reference:
+        codecs.py:435-440, 504-521). Numerics match encode→quantize up to
+        argmin ties (tests/test_fused_vq.py). Used by preencode_data and
+        codebook tracking; training keeps ops.rvq (EMA state updates).
+
+        Returns (z_q (B,h,w,D), indices (B,h,w,L))."""
+        from ..ops.pallas.fused_vq import fused_compress_tail_vq
+        h = self.encoder.apply(params["encoder"], x,
+                               stop_before_compress=True)
+        enc = params["encoder"]["params"]
+        d = self.vq_embedding_dim
+        return fused_compress_tail_vq(
+            h,
+            enc["Conv_1"]["kernel"][0, 0], enc["Conv_1"]["bias"],
+            enc["GroupNorm_0"]["scale"], enc["GroupNorm_0"]["bias"],
+            enc["Conv_2"]["kernel"], enc["Conv_2"]["bias"],
+            params["vq"].codebooks, groups=gn_groups(2, d), tile_b=tile_b)
 
     def decode(self, params, z_q, deterministic: bool = True,
                noise_strength: float = 0.0, rng=None):

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["fused_compress_vq"]
+__all__ = ["fused_compress_vq", "fused_compress_tail_vq"]
 
 
 def _kernel(z_ref, w_ref, b_ref, cb_ref, zq_ref, idx_ref, *, L: int, K: int,
@@ -91,3 +91,117 @@ def fused_compress_vq(z: jax.Array, w: jax.Array, b: jax.Array,
         interpret=jax.default_backend() != "tpu",
     )(z, w, b, codebooks)
     return z_q[:N], idx[:N]
+
+
+# ---------------------------------------------------------------------------
+# whole compression tail + RVQ (VERDICT r1 item 5: extend the fusion window
+# to the 3×3 compression tail, reference codecs.py:435-440 + :504-521)
+
+def _rvq_levels(x, cb_all, L, K, hi):
+    """Unrolled residual-VQ levels on (N, D) tokens; returns (z_q, idx)."""
+    residual = x
+    z_q = jnp.zeros_like(x)
+    idxs = []
+    for lvl in range(L):
+        cb = cb_all[lvl]  # (K, D)
+        r2 = jnp.sum(residual * residual, axis=1, keepdims=True)
+        c2 = jnp.sum(cb * cb, axis=1)[None, :]
+        d = r2 + c2 - 2.0 * jnp.dot(residual, cb.T, precision=hi,
+                                    preferred_element_type=jnp.float32)
+        idx = jnp.argmin(d, axis=1)
+        onehot = jax.nn.one_hot(idx, K, dtype=jnp.float32)
+        q = jnp.dot(onehot, cb, precision=hi,
+                    preferred_element_type=jnp.float32)
+        z_q = z_q + q
+        residual = residual - q
+        idxs.append(idx.astype(jnp.int32))
+    return z_q, jnp.stack(idxs, axis=1)
+
+
+def _tail_kernel(h_ref, w1_ref, b1_ref, gs_ref, gb_ref, cw_ref, cbias_ref,
+                 cb_ref, zq_ref, idx_ref, *, L: int, K: int, D: int,
+                 groups: int, eps: float, TB: int, H: int, W: int):
+    hi = jax.lax.Precision.HIGHEST
+    x = h_ref[...].astype(jnp.float32)            # (TB, H, W, Din)
+    din = x.shape[-1]
+    # 1×1 compress (the only wide matmul — MXU): (TB·H·W, Din) @ (Din, D)
+    y = jnp.dot(x.reshape(TB * H * W, din), w1_ref[...], precision=hi,
+                preferred_element_type=jnp.float32) + b1_ref[...]
+    # GroupNorm per image per group (flax semantics: stats over H·W·C/g,
+    # biased variance), groups unrolled — D is tiny so slices beat reshapes
+    # into sub-lane-sized trailing dims on TPU
+    y3 = y.reshape(TB, H * W, D)
+    gs = D // groups
+    parts = []
+    for g in range(groups):
+        sl = y3[:, :, g * gs:(g + 1) * gs]
+        m = jnp.mean(sl, axis=(1, 2), keepdims=True)
+        v = jnp.mean(sl * sl, axis=(1, 2), keepdims=True) - m * m
+        parts.append((sl - m) * jax.lax.rsqrt(v + eps))
+    y3 = jnp.concatenate(parts, axis=-1) * gs_ref[...] + gb_ref[...]
+    y = jax.nn.silu(y3).reshape(TB, H, W, D)
+    # 3×3 conv, pad 1: nine shifted (TB·H·W, D) @ (D, D) matmuls
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros((TB * H * W, D), jnp.float32) + cbias_ref[...]
+    for dy in range(3):
+        for dx in range(3):
+            patch = yp[:, dy:dy + H, dx:dx + W, :].reshape(TB * H * W, D)
+            out = out + jnp.dot(patch, cw_ref[dy, dx], precision=hi,
+                                preferred_element_type=jnp.float32)
+    z_q, idx = _rvq_levels(out, cb_ref[...], L, K, hi)
+    zq_ref[...] = z_q.reshape(TB, H, W, D).astype(zq_ref.dtype)
+    idx_ref[...] = idx.reshape(TB, H, W, L)
+
+
+def fused_compress_tail_vq(h: jax.Array, w1: jax.Array, b1: jax.Array,
+                           gn_scale: jax.Array, gn_bias: jax.Array,
+                           conv_w: jax.Array, conv_b: jax.Array,
+                           codebooks: jax.Array, groups: int,
+                           eps: float = 1e-5, tile_b: int = 8
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """The codec's ENTIRE compression tail fused with the RVQ encode in one
+    kernel: 1×1 compress → GroupNorm → SiLU → 3×3 conv → L residual-VQ
+    levels, with no HBM round-trips between stages (reference:
+    codecs.py:435-440 compress head + :504-521 quantize).
+
+    ``h`` (B, H, W, Din) pre-compress activations, ``w1`` (Din, D) + ``b1``
+    the 1×1 kernel, ``conv_w`` (3, 3, D, D) HWIO + ``conv_b`` the 3×3 tail,
+    ``codebooks`` (L, K, D) → ``(z_q (B, H, W, D), indices (B, H, W, L))``.
+    GroupNorm statistics are per-image, so the grid tiles the batch.
+    """
+    B, H, W, Din = h.shape
+    D = w1.shape[1]
+    L, K, _ = codebooks.shape
+    tile_b = min(tile_b, B)
+    b_pad = (-B) % tile_b
+    if b_pad:
+        h = jnp.concatenate(
+            [h, jnp.zeros((b_pad, H, W, Din), h.dtype)], axis=0)
+    n_tiles = h.shape[0] // tile_b
+
+    kernel = functools.partial(_tail_kernel, L=L, K=K, D=D, groups=groups,
+                               eps=eps, TB=tile_b, H=H, W=W)
+    z_q, idx = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_b, H, W, Din), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((Din, D), lambda i: (0, 0)),
+            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((3, 3, D, D), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((L, K, D), lambda i: (0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_b, H, W, D), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((tile_b, H, W, L), lambda i: (i, 0, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h.shape[0], H, W, D), h.dtype),
+            jax.ShapeDtypeStruct((h.shape[0], H, W, L), jnp.int32),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(h, w1, b1, gn_scale, gn_bias, conv_w, conv_b, codebooks)
+    return z_q[:B], idx[:B]

@@ -86,6 +86,14 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
     encode = jax.jit(lambda x: codec.encode(codec_params, x))
     quant = (jax.jit(lambda z: codec.quantize(codec_params, z)[0])
              if quantize and hasattr(codec, "quantize") else None)
+    if (quantize and hasattr(codec, "encode_quantize_fused")
+            and bool(config.preencoding.get("fused_vq", True))):
+        # encode+quantize with the compression tail + RVQ search fused in one
+        # Pallas kernel (no HBM round-trip; preencoding.fused_vq=false opts
+        # out). Replaces the separate encode→quantize dispatches below.
+        fused = jax.jit(lambda x: codec.encode_quantize_fused(codec_params,
+                                                              x)[0])
+        encode, quant = fused, None
 
     total_batches = max(1, (augs_per * len(ids)) // batch_size)
     bytes_written = 0
