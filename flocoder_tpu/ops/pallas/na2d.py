@@ -123,18 +123,109 @@ def _fwd(q, k, v, kernel_size, heads, scale):
     return _na2d_fwd_impl(q, k, v, kernel_size, heads, scale), (q, k, v)
 
 
+def _band_mask(r0: int, row_start: int, ks: int, H: int, W: int,
+               tile_h: int, KH: int):
+    """Clamped-window validity mask for one row band (static geometry)."""
+    nq, nk = tile_h * W, KH * W
+    qi = r0 + jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0) // W
+    qj = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 0) % W
+    ki = row_start + jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1) // W
+    kj = jax.lax.broadcasted_iota(jnp.int32, (nq, nk), 1) % W
+    rs = jnp.clip(qi - ks // 2, 0, H - ks)
+    cs = jnp.clip(qj - ks // 2, 0, W - ks)
+    return (ki >= rs) & (ki < rs + ks) & (kj >= cs) & (kj < cs + ks)
+
+
+def _na2d_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                     ks: int, H: int, W: int, dh: int, tile_h: int,
+                     scale: float):
+    """Hand-written backward: one program per (batch·head) slice, row bands
+    statically unrolled (all slices static → Mosaic-friendly). Per band the
+    standard softmax-attention backward runs as dense MXU matmuls under the
+    clamped-window mask; dK/dV halo contributions accumulate in registers
+    across the (overlapping) bands before one store."""
+    q = q_ref[0].reshape(H * W, dh)
+    k = k_ref[0].reshape(H * W, dh)
+    v = v_ref[0].reshape(H * W, dh)
+    g = g_ref[0].reshape(H * W, dh).astype(jnp.float32)
+    dk = jnp.zeros((H * W, dh), jnp.float32)
+    dv = jnp.zeros((H * W, dh), jnp.float32)
+    KH = min(tile_h + ks - 1, H)
+    hi = jnp.float32
+
+    def halo_pad(x, row_start):
+        # place a (KH·W, dh) halo contribution at its rows of the full map
+        # (static pad — scatter-free accumulation across overlapping bands)
+        return jnp.pad(x, ((row_start * W, (H - row_start - KH) * W),
+                           (0, 0)))
+
+    for t in range(H // tile_h):
+        r0 = t * tile_h
+        row_start = min(max(r0 - ks // 2, 0), H - KH)
+        qs = q[r0 * W:(r0 + tile_h) * W] * scale        # (nq, dh)
+        kh = k[row_start * W:(row_start + KH) * W]      # (nk, dh)
+        vh = v[row_start * W:(row_start + KH) * W]
+        gs = g[r0 * W:(r0 + tile_h) * W]
+
+        scores = jnp.dot(qs, kh.T, preferred_element_type=hi)
+        valid = _band_mask(r0, row_start, ks, H, W, tile_h, KH)
+        scores = jnp.where(valid, scores, -jnp.inf)
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        probs = jnp.exp(scores)
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+
+        dP = jnp.dot(gs, vh.astype(jnp.float32).T,
+                     preferred_element_type=hi)
+        delta = jnp.sum(probs * dP, axis=-1, keepdims=True)
+        dS = probs * (dP - delta)                       # (nq, nk) f32
+
+        dq_band = jnp.dot(dS, kh.astype(jnp.float32),
+                          preferred_element_type=hi) * scale
+        dq_ref[0, r0:r0 + tile_h] = dq_band.reshape(
+            tile_h, W, dh).astype(dq_ref.dtype)
+        dk = dk + halo_pad(jnp.dot(dS.T, qs.astype(jnp.float32),
+                                   preferred_element_type=hi), row_start)
+        dv = dv + halo_pad(jnp.dot(probs.T, gs, preferred_element_type=hi),
+                           row_start)
+
+    dk_ref[0] = dk.reshape(H, W, dh).astype(dk_ref.dtype)
+    dv_ref[0] = dv.reshape(H, W, dh).astype(dv_ref.dtype)
+
+
+def _na2d_bwd_impl(q, k, v, g, kernel_size: int, heads: int, scale: float):
+    B, H, W, C = q.shape
+    dh = C // heads
+    ks = min(kernel_size, H, W)
+    tile_h = _pick_tile_h(H)
+
+    def to_heads(x):
+        x = x.reshape(B, H, W, heads, dh)
+        return x.transpose(0, 3, 1, 2, 4).reshape(B * heads, H, W, dh)
+
+    def from_heads(x):
+        x = x.reshape(B, heads, H, W, dh).transpose(0, 2, 3, 1, 4)
+        return x.reshape(B, H, W, C)
+
+    kernel = functools.partial(_na2d_bwd_kernel, ks=ks, H=H, W=W, dh=dh,
+                               tile_h=tile_h, scale=scale)
+    full = pl.BlockSpec((1, H, W, dh), lambda bh: (bh, 0, 0, 0))
+    shp = jax.ShapeDtypeStruct((B * heads, H, W, dh), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(B * heads,),
+        in_specs=[full, full, full, full],
+        out_specs=(full, full, full),
+        out_shape=(shp, shp, shp),
+        interpret=jax.default_backend() != "tpu",
+    )(to_heads(q), to_heads(k), to_heads(v), to_heads(g))
+    return from_heads(dq), from_heads(dk), from_heads(dv)
+
+
 def _bwd(kernel_size, heads, scale, residuals, g):
-    # Backward through the dense-banded XLA formulation — the same row-band
-    # math as the forward kernel, so gradients stay MXU matmuls instead of
-    # gathers (oracle-checked in tests/test_pallas_na2d.py).
-    from ..neighborhood_attention import na2d_banded
     q, k, v = residuals
     if scale is None:
         scale = (q.shape[-1] // heads) ** -0.5
-    _, vjp = jax.vjp(
-        lambda q, k, v: na2d_banded(q, k, v, kernel_size=kernel_size,
-                                    heads=heads, scale=scale), q, k, v)
-    return vjp(g)
+    return _na2d_bwd_impl(q, k, v, g, kernel_size, heads, scale)
 
 
 na2d_pallas.defvjp(_fwd, _bwd)

@@ -32,3 +32,26 @@ def test_pallas_custom_vjp_matches_reference_grad():
     g2 = jax.grad(lambda q: jnp.sum(
         na2d_reference(q, q, q, kernel_size=3, heads=2) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_handwritten_bwd_matches_reference_grads_production_shape():
+    """Separate dq/dk/dv vs the gather-oracle autodiff at the codec's real
+    config (k=7, 8 heads) on a 16² map (VERDICT r1 item 6)."""
+    import numpy as np
+    from flocoder_tpu.ops.neighborhood_attention import na2d_reference
+    rng = np.random.default_rng(5)
+    B, H, W, C = 2, 16, 16, 32
+    q, k, v, g = (jnp.asarray(rng.standard_normal((B, H, W, C))
+                              .astype(np.float32)) for _ in range(4))
+
+    def loss_p(q, k, v):
+        return jnp.sum(na2d_pallas(q, k, v, 7, 8, None) * g)
+
+    def loss_r(q, k, v):
+        return jnp.sum(na2d_reference(q, k, v, kernel_size=7, heads=8) * g)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gp, gr, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3, err_msg=name)
