@@ -1,9 +1,19 @@
 #!/usr/bin/env python3
-"""Benchmark: flow-matching training throughput on the reference's headline
-configuration (BASELINE.md: SD latents 4×16×16, batch 256, U-Net dim=16 →
-≈1.0–1.1k samples/s on the reference's Colab GPU).
+"""Benchmark suite (driver-run). Headline: flow-matching training throughput
+on the reference's headline configuration (BASELINE.md: SD latents 4×16×16,
+batch 256, U-Net dim=16 → ≈1.0–1.1k samples/s on the reference's Colab GPU).
+Also measures the BASELINE.json north-star metrics and reports them in the
+same JSON object:
+- e2e_sampler_samples_per_sec: one jitted RK4(50-step, CFG)+decode executable
+  → 128² images through the SD-VAE-class decoder (samples/sec/chip)
+- ode_steps_per_sec: jitted RK4 scan alone (model NFE=4/step, ×2 CFG)
+- preencode_samples_per_sec: SD-VAE-class encode pass at 128²
+  (the pre-encoding stage, reference README.md:101)
+- fused_vq_preencode_samples_per_sec: VQGAN encode+quantize with the Pallas
+  fused compression-tail+RVQ kernel
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE final JSON line:
+{"metric", "value", "unit", "vs_baseline", "extra": {...}}.
 """
 from __future__ import annotations
 
@@ -33,9 +43,22 @@ def main():
                       "error": str(last_err)[:200]}))
 
 
-def _run():
-    from flocoder_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
+def _timed(fn, *args, warmup: int = 2, iters: int = 10):
+    """Per-call blocking timer (axon queue semantics under-report pipelined
+    dispatch; block_until_ready per call is the honest measurement)."""
+    import jax
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def _bench_flow_train():
     import jax
     import jax.numpy as jnp
     from flocoder_tpu.models.unet import Unet
@@ -54,35 +77,111 @@ def _run():
         {"class_cond": jnp.zeros((8,), jnp.int32), "mask_cond": None})}
     tx = make_flow_optimizer(1e-4)
     state = create_flow_state(params, tx)
-    step = make_flow_train_step(lambda p, x, t, c: model.apply(p, x, t, c), tx)
-
+    step = make_flow_train_step(lambda p, x, t, c: model.apply(p, x, t, c),
+                                tx)
     rng = np.random.default_rng(0)
     batch = shard_batch(mesh, {
         "target": rng.standard_normal((B, H, H, C)).astype(np.float32),
         "class_cond": rng.integers(0, n_classes, B).astype(np.int32),
     })
-
-    # warmup / compile
     key = jax.random.PRNGKey(0)
-    for i in range(3):
+    for _ in range(3):  # warmup/compile
         key, k = jax.random.split(key)
         state, aux = step(state, batch, k)
     jax.block_until_ready(aux)
-
     n_steps = 30
     t0 = time.perf_counter()
-    for i in range(n_steps):
+    for _ in range(n_steps):
         key, k = jax.random.split(key)
         state, aux = step(state, batch, k)
     jax.block_until_ready(aux)
     dt = time.perf_counter() - t0
+    del state, batch, params
+    return B * n_steps / dt
 
-    samples_per_sec = B * n_steps / dt
+
+def _bench_sampler_and_codecs():
+    """North-star path: RK4+CFG sample → SD-VAE-class decode to 128², plus
+    the encode (pre-encode stage) and the fused-VQ VQGAN encode."""
+    import jax
+    import jax.numpy as jnp
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.models.sd_vae import SDVAE
+    from flocoder_tpu.models.codecs import VQVAE
+    from flocoder_tpu.sampling import generate_latents
+    from flocoder_tpu.evaluation import make_e2e_sampler
+
+    B, H, C, DIM, n_classes, n_steps = 64, 16, 4, 16, 102, 50
+    model = Unet(dim=DIM, dim_mults=(1, 2, 4, 8), channels=C,
+                 n_classes=n_classes)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((8, H, H, C)), jnp.zeros((8,)),
+        {"class_cond": jnp.zeros((8,), jnp.int32), "mask_cond": None})
+    apply_p = lambda p, x, t, c: model.apply(p, x, t, c)
+
+    # ODE steps/sec: the jitted RK4 scan alone (CFG active → NFE=8/step)
+    @jax.jit
+    def latents_only(p, rng, cls):
+        lat, _ = generate_latents(
+            lambda x, t, c: apply_p(p, x, t, c), (B, H, H, C), rng,
+            method="rk4", n_steps=n_steps,
+            cond={"class_cond": cls, "mask_cond": None}, cfg_strength=3.0)
+        return lat
+    cls = jnp.arange(B, dtype=jnp.int32) % n_classes
+    t_lat, _ = _timed(latents_only, params, jax.random.PRNGKey(1), cls,
+                      warmup=2, iters=5)
+    ode_steps_per_sec = n_steps / t_lat
+
+    # e2e: one executable RK4+decode (SD-VAE decoder, 16×16×4 → 128²)
+    sd = SDVAE(image_size=128, weights_path="")
+    sd_params = sd.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, 128, 128, 3), jnp.float32))
+    e2e = make_e2e_sampler(apply_p, sd, (H, H, C), batch_size=B,
+                           n_steps=n_steps, cfg_strength=3.0,
+                           n_classes=n_classes)
+    t_e2e, _ = _timed(e2e, params, sd_params, jax.random.PRNGKey(3), cls,
+                      warmup=2, iters=3)
+    e2e_sps = B / t_e2e
+
+    # pre-encode stage: SD-VAE encode at 128²
+    enc = jax.jit(lambda p, x: sd.encode(p, x))
+    px = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (B, 128, 128, 3)).astype(np.float32))
+    t_enc, _ = _timed(enc, sd_params, px, warmup=2, iters=5)
+    preencode_sps = B / t_enc
+    del sd_params
+
+    # fused Pallas compress-tail+RVQ encode+quantize (VQGAN codec, 128²)
+    vq = VQVAE(in_channels=3, hidden_channels=64, num_downsamples=3,
+               internal_dim=256, vq_embedding_dim=4, codebook_levels=3,
+               vq_num_embeddings=512)
+    vq_params = vq.init(jax.random.PRNGKey(4), px[:8])
+    fused = jax.jit(lambda p, x: vq.encode_quantize_fused(p, x)[0])
+    t_fused, _ = _timed(fused, vq_params, px, warmup=2, iters=5)
+    unfused = jax.jit(
+        lambda p, x: vq.quantize(p, vq.encode(p, x), train=False)[0])
+    t_unf, _ = _timed(unfused, vq_params, px, warmup=2, iters=5)
+    return {
+        "e2e_sampler_samples_per_sec": round(e2e_sps, 1),
+        "ode_steps_per_sec": round(ode_steps_per_sec, 1),
+        "preencode_samples_per_sec": round(preencode_sps, 1),
+        "fused_vq_preencode_samples_per_sec": round(B / t_fused, 1),
+        "unfused_vq_preencode_samples_per_sec": round(B / t_unf, 1),
+    }
+
+
+def _run():
+    from flocoder_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    samples_per_sec = _bench_flow_train()
+    extra = _bench_sampler_and_codecs()
     print(json.dumps({
         "metric": "flow_train_throughput",
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec/chip",
         "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+        "extra": extra,
     }))
 
 

@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""bf16 pathology investigation (VERDICT r1 item 4 / docs/ROADMAP.md).
+
+Round-1 measured the VQGAN codec warmup step at 185 ms in bf16 vs 5.3 ms in
+fp32 (35×). This script isolates WHERE bf16 leaves the fast path by timing
+each suspect sub-module in both dtypes on the real chip:
+
+  python benchmarks/bf16_profile.py            # all sections
+  python benchmarks/bf16_profile.py unet codec # chosen sections
+
+Per-call block_until_ready timing (axon queue semantics under-report
+pipelined dispatch)."""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def timed(fn, *args, warmup=2, iters=10):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def report(name, t32, t16):
+    print(f"{name:40s} fp32 {t32 * 1e3:8.2f} ms   bf16 {t16 * 1e3:8.2f} ms "
+          f"  ratio {t16 / t32:6.2f}×")
+
+
+def sec_unet():
+    import jax, jax.numpy as jnp
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.training.flow import (create_flow_state,
+                                            make_flow_optimizer,
+                                            make_flow_train_step)
+    B, H, C = 256, 16, 4
+    for dtype, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        model = Unet(dim=16, dim_mults=(1, 2, 4, 8), channels=C,
+                     n_classes=102, dtype=dtype)
+        params = {"model": model.init(
+            jax.random.PRNGKey(0), jnp.zeros((8, H, H, C)), jnp.zeros((8,)),
+            {"class_cond": jnp.zeros((8,), jnp.int32), "mask_cond": None})}
+        tx = make_flow_optimizer(1e-4)
+        state = create_flow_state(params, tx)
+        step = make_flow_train_step(
+            lambda p, x, t, c: model.apply(p, x, t, c), tx, donate=False)
+        batch = {"target": jnp.asarray(np.random.randn(B, H, H, C),
+                                       jnp.float32),
+                 "class_cond": jnp.zeros((B,), jnp.int32)}
+        t = timed(lambda s, b, k: step(s, b, k)[1]["loss"],
+                  state, batch, jax.random.PRNGKey(1))
+        print(f"unet train step [{tag}]: {t * 1e3:.2f} ms "
+              f"({B / t:.0f} samples/s)")
+
+
+def _codec(dtype, use_attention=True, decoder_nonlocal=True):
+    from flocoder_tpu.models.codecs import VQVAE
+    return VQVAE(in_channels=3, hidden_channels=64, num_downsamples=3,
+                 internal_dim=256, vq_embedding_dim=4, codebook_levels=3,
+                 vq_num_embeddings=512, dtype=dtype,
+                 use_attention=use_attention,
+                 decoder_nonlocal=decoder_nonlocal)
+
+
+def sec_codec():
+    """Codec fwd+bwd (the round-1 35× case), then ablations: no NA blocks,
+    no decoder nonlocal RoPE attention."""
+    import jax, jax.numpy as jnp
+    x = jnp.asarray(np.random.randn(16, 128, 128, 3), jnp.float32)
+
+    for variant, kw in (("full", {}),
+                        ("no_natten", {"use_attention": False}),
+                        ("no_nonlocal", {"decoder_nonlocal": False}),
+                        ("convs_only", {"use_attention": False,
+                                        "decoder_nonlocal": False})):
+        ts = {}
+        for dtype, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+            codec = _codec(dtype, **kw)
+            params = codec.init(jax.random.PRNGKey(0), x[:2])
+
+            def loss_fn(p, xb, rng):
+                recon, commit, _, _ = codec.forward(p, xb, train=True,
+                                                    rng=rng)
+                return jnp.mean((recon - xb) ** 2) + commit.mean()
+
+            g = jax.jit(jax.grad(lambda p, xb, rng: loss_fn(p, xb, rng)))
+            ts[tag] = timed(lambda p: g(p, x, jax.random.PRNGKey(1)), params,
+                            iters=5)
+        report(f"codec fwd+bwd 128² [{variant}]", ts["fp32"], ts["bf16"])
+
+
+def sec_ops():
+    """Isolated suspects: pixel shuffle/unshuffle, RoPE attention, NA2D."""
+    import jax, jax.numpy as jnp
+    from flocoder_tpu.models.unet import pixel_shuffle, pixel_unshuffle
+    from flocoder_tpu.models.codecs import SpatialNonLocalAttention
+    from flocoder_tpu.ops.neighborhood_attention import na2d_banded
+    from flocoder_tpu.ops.pallas.na2d import na2d_pallas
+
+    for dt, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        x = jnp.asarray(np.random.randn(16, 32, 32, 256), jnp.float32).astype(dt)
+        f = jax.jit(lambda x: pixel_shuffle(x, 2))
+        t_ps = timed(f, x)
+        f2 = jax.jit(lambda x: pixel_unshuffle(x, 2))
+        t_pu = timed(f2, x)
+        print(f"pixel_shuffle 32²x256 [{tag}]: {t_ps * 1e3:.3f} ms   "
+              f"unshuffle: {t_pu * 1e3:.3f} ms")
+
+    for dt, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        lat = jnp.asarray(np.random.randn(16, 16, 16, 4), jnp.float32).astype(dt)
+        m = SpatialNonLocalAttention(dtype=dt)
+        p = m.init(jax.random.PRNGKey(0), lat)
+        f = jax.jit(lambda p, x: m.apply(p, x))
+        print(f"RoPE nonlocal attn 16²x4 [{tag}]: "
+              f"{timed(f, p, lat) * 1e3:.3f} ms")
+
+    for dt, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        q = jnp.asarray(np.random.randn(16, 32, 32, 256), jnp.float32).astype(dt)
+        fb = jax.jit(lambda q: na2d_banded(q, q, q, 7, 8))
+        fp = jax.jit(lambda q: na2d_pallas(q, q, q, 7, 8, None))
+        print(f"na2d 32²x256 [{tag}]: banded {timed(fb, q) * 1e3:.3f} ms   "
+              f"pallas {timed(fp, q) * 1e3:.3f} ms")
+
+
+SECTIONS = {"unet": sec_unet, "codec": sec_codec, "ops": sec_ops}
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or list(SECTIONS)
+    for name in which:
+        print(f"=== {name} ===")
+        SECTIONS[name]()
