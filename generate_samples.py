@@ -176,12 +176,16 @@ def midi_to_audio(midi_path: str) -> str:
 def create_gradio_interface(config):
     """Gradio UI (reference: generate_samples.py:243-343): checkpoint /
     sample-count / CFG / method / steps widgets + gallery; MIDI outputs get
-    .mid downloads and (when timidity exists) audio previews. Gated on the
-    gradio package, which is not installed in this environment."""
+    .mid downloads and (when timidity exists) audio previews. When the
+    gradio package is missing (this environment), falls back to the
+    first-party stdlib web UI (flocoder_tpu.ui.webapp — same controls and
+    outputs, zero dependencies)."""
     try:
         import gradio as gr
     except ImportError:
-        raise SystemExit("gradio is not installed; run without +use_gradio")
+        from flocoder_tpu.ui.webapp import launch_webapp
+        print("gradio not installed — serving the first-party stdlib UI")
+        return launch_webapp(config)
     import glob
 
     from flocoder_tpu.config import ldcfg
