@@ -27,10 +27,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh", "data_sharding", "replicated", "shard_batch",
     "host_device_count", "maybe_init_distributed", "P", "Mesh",
+    "DATA_AXIS", "MODEL_AXIS", "DCN_AXIS", "batch_axis_names",
 ]
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"
 
 
 def maybe_init_distributed() -> None:
@@ -41,20 +43,35 @@ def maybe_init_distributed() -> None:
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Create a ('data', 'model') mesh. Defaults to all visible devices on the
-    data axis; a single device yields a degenerate 1×1 mesh so jitted code is
-    identical on one chip or a pod slice."""
+              devices: Optional[Sequence] = None, n_dcn: int = 1) -> Mesh:
+    """Create a ('data', 'model') mesh — or ('dcn', 'data', 'model') when
+    ``n_dcn > 1`` for multi-slice deployments (SURVEY §5.8: ICI within a
+    slice, DCN across slices; data parallelism then spans ('dcn','data') and
+    gradient reductions hierarchy-reduce over ICI first). Defaults to all
+    visible devices on the data axis; a single device yields a degenerate
+    mesh so jitted code is identical on one chip or a pod slice."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+        n_data = len(devices) // (n_model * n_dcn)
+    take = n_dcn * n_data * n_model
+    if n_dcn > 1:
+        devs = np.asarray(devices[:take]).reshape(n_dcn, n_data, n_model)
+        return Mesh(devs, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+    devs = np.asarray(devices[:take]).reshape(n_data, n_model)
     return Mesh(devs, (DATA_AXIS, MODEL_AXIS))
 
 
+def batch_axis_names(mesh: Mesh):
+    """The mesh axes the batch dim is split over: ('dcn','data') on a
+    multi-slice mesh, 'data' otherwise. Feed to PartitionSpec / pmean."""
+    if DCN_AXIS in mesh.axis_names:
+        return (DCN_AXIS, DATA_AXIS)
+    return DATA_AXIS
+
+
 def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Sharding that splits the leading (batch) axis over 'data'."""
-    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    """Sharding that splits the leading (batch) axis over the data axes."""
+    spec = P(batch_axis_names(mesh), *([None] * (ndim - 1)))
     return NamedSharding(mesh, spec)
 
 

@@ -124,7 +124,9 @@ def make_flow_train_step(model_apply: Callable, tx,
     if donate is None:
         donate = _default_donate()
     if mesh is not None and axis_name is None:
-        axis_name = "data"
+        # batch axes: ('dcn','data') on multi-slice meshes, 'data' otherwise
+        from ..parallel.mesh import batch_axis_names
+        axis_name = batch_axis_names(mesh)
 
     def step_fn(state: FlowState, batch: dict, rng: jax.Array):
         if encode_fn is not None and "pixels" in batch:
@@ -136,8 +138,14 @@ def make_flow_train_step(model_apply: Callable, tx,
         k_noise, k_gate, k_cfgnoise, k_t = jax.random.split(rng, 4)
         if axis_name is not None:
             # distinct noise per shard; the gate key stays global so the
-            # whole (global) batch drops conditioning together
-            ax = jax.lax.axis_index(axis_name)
+            # whole (global) batch drops conditioning together. axis_name
+            # may be a tuple (('dcn','data') on multi-slice meshes) — fold
+            # in the combined linear shard index.
+            names = ((axis_name,) if isinstance(axis_name, str)
+                     else tuple(axis_name))
+            ax = jnp.zeros((), jnp.int32)
+            for nm in names:
+                ax = ax * jax.lax.psum(1, nm) + jax.lax.axis_index(nm)
             k_noise = jax.random.fold_in(k_noise, ax)
             k_cfgnoise = jax.random.fold_in(k_cfgnoise, ax)
             k_t = jax.random.fold_in(k_t, ax)

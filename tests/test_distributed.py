@@ -168,3 +168,34 @@ def test_train_step_loss_matches_across_mesh_sizes():
                       jax.random.PRNGKey(7))
         losses.append(float(aux["loss"]))
     assert abs(losses[0] - losses[1]) < 1e-4, losses
+
+
+def test_multislice_dcn_mesh_train_step():
+    """('dcn','data','model') mesh (SURVEY §5.8 multi-slice): the shard_map
+    step splits the batch over both dcn and data axes and pmean-reduces
+    grads across them; 2 virtual slices × 4 devices."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.parallel.mesh import batch_axis_names
+    from flocoder_tpu.training.flow import (create_flow_state,
+                                            make_flow_optimizer,
+                                            make_flow_train_step)
+    mesh2 = make_mesh(n_data=4, n_dcn=2)
+    assert mesh2.axis_names == ("dcn", "data", "model")
+    assert batch_axis_names(mesh2) == ("dcn", "data")
+    C, H = 1, 4
+    model = Unet(dim=4, dim_mults=(1, 2), channels=C, n_classes=0,
+                 resnet_block_groups=2)
+    params = {"model": model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((2, H, H, C)), jnp.zeros((2,)),
+                                  None)}
+    tx = make_flow_optimizer(1e-3)
+    step = make_flow_train_step(lambda p, x, t, c: model.apply(p, x, t, c),
+                                tx, donate=False, mesh=mesh2)
+    batch = shard_batch(mesh2, {"target": np.random.default_rng(0)
+                                .standard_normal((16, H, H, C))
+                                .astype(np.float32)})
+    state = create_flow_state(params, tx)
+    state, aux = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux["loss"]))
