@@ -91,7 +91,10 @@ def sec_codec():
                                                     rng=rng)
                 return jnp.mean((recon - xb) ** 2) + commit.mean()
 
-            g = jax.jit(jax.grad(lambda p, xb, rng: loss_fn(p, xb, rng)))
+            # RVQ state carries a bool `initted` flag → allow_int so grad
+            # skips it (its cotangent is float0, never materialized)
+            g = jax.jit(jax.grad(lambda p, xb, rng: loss_fn(p, xb, rng),
+                                 allow_int=True))
             ts[tag] = timed(lambda p: g(p, x, jax.random.PRNGKey(1)), params,
                             iters=5)
         report(f"codec fwd+bwd 128² [{variant}]", ts["fp32"], ts["bf16"])
@@ -130,7 +133,33 @@ def sec_ops():
               f"pallas {timed(fp, q) * 1e3:.3f} ms")
 
 
-SECTIONS = {"unet": sec_unet, "codec": sec_codec, "ops": sec_ops}
+def sec_width():
+    """Width sweep: U-Net forward-only at dim ∈ {16, 32, 64, 128} — where
+    does bf16 start winning? (BENCH_NOTES hypothesis: cast overhead dominates
+    tiny convs; MXU bf16 should dominate at larger widths.)"""
+    import jax, jax.numpy as jnp
+    from flocoder_tpu.models.unet import Unet
+    B, H, C = 256, 16, 4
+    for dim in (16, 32, 64, 128):
+        ts = {}
+        for dtype, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+            model = Unet(dim=dim, dim_mults=(1, 2, 4, 8), channels=C,
+                         n_classes=102, dtype=dtype)
+            params = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((8, H, H, C)),
+                jnp.zeros((8,)), {"class_cond": jnp.zeros((8,), jnp.int32),
+                                  "mask_cond": None})
+            x = jnp.asarray(np.random.randn(B, H, H, C), jnp.float32)
+            t = jnp.full((B,), 500.0)
+            cls = jnp.zeros((B,), jnp.int32)
+            f = jax.jit(lambda p, x, t, c: model.apply(
+                p, x, t, {"class_cond": c, "mask_cond": None}))
+            ts[tag] = timed(f, params, x, t, cls)
+        report(f"unet fwd dim={dim}", ts["fp32"], ts["bf16"])
+
+
+SECTIONS = {"unet": sec_unet, "codec": sec_codec, "ops": sec_ops,
+            "width": sec_width}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list(SECTIONS)

@@ -1,10 +1,15 @@
 #!/usr/bin/env python3
 """NA2D kernel acceptance (VERDICT r1 item 6): Pallas vs XLA-banded at 16²
-and 32², forward and forward+backward, with a tile_h sweep.
+and 32², forward and forward+backward, fp32 and bf16.
 
 Acceptance bar (SURVEY §7): the Pallas kernel must beat the banded XLA
 formulation at BOTH resolutions for fwd and fwd+bwd, else banded stays the
 default and the kernel is demoted.
+
+Timing: chained data dependency — each iteration's input mixes in the
+previous output, so the device cannot pipeline independent dispatches and
+one final block_until_ready times the true serialized execution
+(docs/BENCH_NOTES.md measurement notes).
 
   python benchmarks/na2d_timing.py
 """
@@ -15,15 +20,18 @@ import time
 import numpy as np
 
 
-def timed(fn, *args, warmup=2, iters=20):
+def timed_chained(step, x0, warmup=3, iters=50):
+    """step: x -> x (same shape). Chain through iters, block once."""
     import jax
+    x = x0
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        x = step(x)
+    jax.block_until_ready(x)
+    x = x0
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        x = step(x)
+    jax.block_until_ready(x)
     return (time.perf_counter() - t0) / iters
 
 
@@ -34,23 +42,34 @@ def main():
     from flocoder_tpu.ops.pallas.na2d import na2d_pallas
 
     B, heads, ks = 16, 8, 7
-    for H, C in ((16, 512), (32, 256)):
-        q = jnp.asarray(np.random.default_rng(0).standard_normal(
-            (B, H, H, C)).astype(np.float32))
+    for dt, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        for H, C in ((16, 512), (32, 256)):
+            q = jnp.asarray(np.random.default_rng(0).standard_normal(
+                (B, H, H, C)).astype(np.float32)).astype(dt)
 
-        fwd_b = jax.jit(lambda q: na2d_banded(q, q, q, ks, heads))
-        fwd_p = jax.jit(lambda q: na2d_pallas(q, q, q, ks, heads, None))
-        tb, tp = timed(fwd_b, q), timed(fwd_p, q)
-        print(f"[{H}²x{C}] fwd:      banded {tb * 1e3:7.3f} ms   "
-              f"pallas {tp * 1e3:7.3f} ms   speedup {tb / tp:5.2f}×")
+            # fwd: out feeds the next call's q/k/v. The q + 1e-3·out mix
+            # keeps values bounded across 50 chained calls (identical
+            # epsilon-cost for both variants).
+            fwd_b = jax.jit(lambda x: q + 1e-3 * na2d_banded(
+                x, x, x, ks, heads))
+            fwd_p = jax.jit(lambda x: q + 1e-3 * na2d_pallas(
+                x, x, x, ks, heads, None))
+            tb = timed_chained(fwd_b, q)
+            tp = timed_chained(fwd_p, q)
+            print(f"[{tag} {H}²x{C}] fwd:      banded {tb * 1e3:7.3f} ms   "
+                  f"pallas {tp * 1e3:7.3f} ms   speedup {tb / tp:5.2f}×")
 
-        gb = jax.jit(jax.grad(lambda q: jnp.sum(
-            na2d_banded(q, q, q, ks, heads) ** 2)))
-        gp = jax.jit(jax.grad(lambda q: jnp.sum(
-            na2d_pallas(q, q, q, ks, heads, None) ** 2)))
-        tb, tp = timed(gb, q), timed(gp, q)
-        print(f"[{H}²x{C}] fwd+bwd:  banded {tb * 1e3:7.3f} ms   "
-              f"pallas {tp * 1e3:7.3f} ms   speedup {tb / tp:5.2f}×")
+            # fwd+bwd: gradient (same shape as input) feeds the next call
+            _gb = jax.grad(lambda x: jnp.sum(
+                na2d_banded(x, x, x, ks, heads) ** 2))
+            _gp = jax.grad(lambda x: jnp.sum(
+                na2d_pallas(x, x, x, ks, heads, None) ** 2))
+            gb = jax.jit(lambda x: q + 1e-3 * _gb(x))
+            gp = jax.jit(lambda x: q + 1e-3 * _gp(x))
+            tb = timed_chained(gb, q, iters=30)
+            tp = timed_chained(gp, q, iters=30)
+            print(f"[{tag} {H}²x{C}] fwd+bwd:  banded {tb * 1e3:7.3f} ms   "
+                  f"pallas {tp * 1e3:7.3f} ms   speedup {tb / tp:5.2f}×")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,97 @@
+"""Ring (sequence-parallel) attention over an ICI mesh axis.
+
+SURVEY.md §5.7/§2d leave room for sequence/context parallelism over the
+*global* attention sites — the U-Net bottleneck ``Attention``
+(reference: unet.py:99-122) and the codec's ``SpatialNonLocalAttention``
+(reference: codecs.py:336-382) — for resolutions where one chip can't hold
+the full token sequence. At the reference's 128²/16² sizes this is never
+needed (SURVEY: "not needed at 128²"), so nothing in the recipes turns it
+on; this module is the extension point, built TPU-first:
+
+- tokens are sharded over a mesh axis; each device holds a Q/K/V shard
+- K/V shards rotate around the ring with ``lax.ppermute`` (one ICI
+  neighbor-hop per step — the collective XLA maps directly onto the torus)
+- exact softmax is recovered with online (flash-style) max/denominator
+  accumulation, so the result is bitwise-independent of the ring layout up
+  to float associativity
+
+Everything is a pure function usable inside ``shard_map`` — the same
+pattern as the psum'd RVQ statistics (ops/rvq.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from .mesh import Mesh, MODEL_AXIS
+
+__all__ = ["ring_attention_local", "make_ring_self_attention"]
+
+
+def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array,
+                         axis_name: str, axis_size: int,
+                         scale: Optional[float] = None) -> jax.Array:
+    """Exact softmax attention where ``q, k, v`` are the LOCAL sequence
+    shards ``(batch, n_local, heads, head_dim)`` of a sequence sharded over
+    ``axis_name`` (call inside ``shard_map``). Returns the local output
+    shard, identical (up to float associativity) to running full attention
+    on the gathered sequence.
+
+    ``axis_size`` must be the static mesh-axis size (ring length)."""
+    b, n, h, d = q.shape
+    if scale is None:
+        scale = d ** -0.5
+    qf = q.astype(jnp.float32) * scale
+
+    perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
+
+    def step(carry, _):
+        k_blk, v_blk, m, l, acc = carry
+        sim = jnp.einsum("bnhd,bmhd->bhnm", qf, k_blk.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        blk_max = sim.max(axis=-1)                      # (b, h, n)
+        new_m = jnp.maximum(m, blk_max)
+        corr = jnp.exp(m - new_m)                       # rescale old stats
+        p = jnp.exp(sim - new_m[..., None])             # (b, h, n, m)
+        l = l * corr + p.sum(axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhnm,bmhd->bhnd", p, v_blk.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        k_blk = lax.ppermute(k_blk, axis_name, perm)
+        v_blk = lax.ppermute(v_blk, axis_name, perm)
+        return (k_blk, v_blk, new_m, l, acc), None
+
+    m0 = jnp.full((b, h, n), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, n), jnp.float32)
+    acc0 = jnp.zeros((b, h, n, d), jnp.float32)
+    (_, _, _, l, acc), _ = lax.scan(step, (k, v, m0, l0, acc0), None,
+                                    length=axis_size)
+    out = acc / l[..., None]                            # (b, h, n, d)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)    # (b, n, h, d)
+
+
+def make_ring_self_attention(mesh: Mesh, axis: str = MODEL_AXIS):
+    """Build a jittable ``fn(q, k, v) -> out`` over GLOBAL ``(b, n, heads,
+    d)`` arrays with the token axis sharded over ``mesh`` axis ``axis``
+    (batch replicated along it; other mesh axes are free for data
+    parallelism as usual).
+
+    This is the drop-in sequence-parallel form of the bottleneck attention
+    einsum pair (models/unet.py:Attention): same math, but the sequence
+    never materializes on one device and K/V travel the ICI ring."""
+    from jax.experimental.shard_map import shard_map
+
+    axis_size = mesh.shape[axis]
+    spec = P(None, axis, None, None)
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+             out_specs=spec)
+    def fn(q, k, v):
+        return ring_attention_local(q, k, v, axis_name=axis,
+                                    axis_size=axis_size)
+    return fn
