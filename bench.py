@@ -112,36 +112,45 @@ def _bench_sampler_and_codecs():
     from flocoder_tpu.evaluation import make_e2e_sampler
 
     B, H, C, DIM, n_classes, n_steps = 64, 16, 4, 16, 102, 50
-    model = Unet(dim=DIM, dim_mults=(1, 2, 4, 8), channels=C,
-                 n_classes=n_classes)
-    params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((8, H, H, C)), jnp.zeros((8,)),
-        {"class_cond": jnp.zeros((8,), jnp.int32), "mask_cond": None})
-    apply_p = lambda p, x, t, c: model.apply(p, x, t, c)
-
-    # ODE steps/sec: the jitted RK4 scan alone (CFG active → NFE=8/step)
-    @jax.jit
-    def latents_only(p, rng, cls):
-        lat, _ = generate_latents(
-            lambda x, t, c: apply_p(p, x, t, c), (B, H, H, C), rng,
-            method="rk4", n_steps=n_steps,
-            cond={"class_cond": cls, "mask_cond": None}, cfg_strength=3.0)
-        return lat
     cls = jnp.arange(B, dtype=jnp.int32) % n_classes
-    t_lat, _ = _timed(latents_only, params, jax.random.PRNGKey(1), cls,
-                      warmup=2, iters=5)
-    ode_steps_per_sec = n_steps / t_lat
+    per_dtype = {}
+    for dtype, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
+        model = Unet(dim=DIM, dim_mults=(1, 2, 4, 8), channels=C,
+                     n_classes=n_classes, dtype=dtype)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((8, H, H, C)), jnp.zeros((8,)),
+            {"class_cond": jnp.zeros((8,), jnp.int32), "mask_cond": None})
+        apply_p = lambda p, x, t, c: model.apply(p, x, t, c)
 
-    # e2e: one executable RK4+decode (SD-VAE decoder, 16×16×4 → 128²)
+        # ODE steps/sec: the jitted RK4 scan alone (CFG active → NFE=8/step)
+        @jax.jit
+        def latents_only(p, rng, cls):
+            lat, _ = generate_latents(
+                lambda x, t, c: apply_p(p, x, t, c), (B, H, H, C), rng,
+                method="rk4", n_steps=n_steps,
+                cond={"class_cond": cls, "mask_cond": None}, cfg_strength=3.0)
+            return lat
+        t_lat, _ = _timed(latents_only, params, jax.random.PRNGKey(1), cls,
+                          warmup=2, iters=5)
+
+        # e2e: one executable RK4+decode (SD-VAE decoder, 16×16×4 → 128²)
+        sd = SDVAE(image_size=128, weights_path="", dtype=dtype)
+        sd_params = sd.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 128, 128, 3), jnp.float32))
+        e2e = make_e2e_sampler(apply_p, sd, (H, H, C), batch_size=B,
+                               n_steps=n_steps, cfg_strength=3.0,
+                               n_classes=n_classes)
+        t_e2e, _ = _timed(e2e, params, sd_params, jax.random.PRNGKey(3), cls,
+                          warmup=2, iters=3)
+        per_dtype[tag] = (n_steps / t_lat, B / t_e2e)
+        del params, sd_params
+    ode_steps_per_sec = max(v[0] for v in per_dtype.values())
+    e2e_sps = max(v[1] for v in per_dtype.values())
+
+    # rebuild the fp32 SD-VAE for the pre-encode measurement below
     sd = SDVAE(image_size=128, weights_path="")
     sd_params = sd.init(jax.random.PRNGKey(2),
                         jnp.zeros((1, 128, 128, 3), jnp.float32))
-    e2e = make_e2e_sampler(apply_p, sd, (H, H, C), batch_size=B,
-                           n_steps=n_steps, cfg_strength=3.0,
-                           n_classes=n_classes)
-    t_e2e, _ = _timed(e2e, params, sd_params, jax.random.PRNGKey(3), cls,
-                      warmup=2, iters=3)
-    e2e_sps = B / t_e2e
 
     # pre-encode stage: SD-VAE encode at 128²
     enc = jax.jit(lambda p, x: sd.encode(p, x))
@@ -164,6 +173,8 @@ def _bench_sampler_and_codecs():
     return {
         "e2e_sampler_samples_per_sec": round(e2e_sps, 1),
         "ode_steps_per_sec": round(ode_steps_per_sec, 1),
+        "e2e_sampler_fp32_samples_per_sec": round(per_dtype["fp32"][1], 1),
+        "e2e_sampler_bf16_samples_per_sec": round(per_dtype["bf16"][1], 1),
         "preencode_samples_per_sec": round(preencode_sps, 1),
         "fused_vq_preencode_samples_per_sec": round(B / t_fused, 1),
         "unfused_vq_preencode_samples_per_sec": round(B / t_unf, 1),

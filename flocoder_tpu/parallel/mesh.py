@@ -69,19 +69,22 @@ def batch_axis_names(mesh: Mesh):
     return DATA_AXIS
 
 
-def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Sharding that splits the leading (batch) axis over the data axes."""
-    spec = P(batch_axis_names(mesh), *([None] * (ndim - 1)))
-    return NamedSharding(mesh, spec)
+def data_sharding(mesh: Mesh, ndim: int = 1, axis: int = 0) -> NamedSharding:
+    """Sharding that splits the batch axis (dim ``axis``) over the data
+    axes; other dims replicated."""
+    dims = [None] * ndim
+    dims[axis] = batch_axis_names(mesh)
+    return NamedSharding(mesh, P(*dims))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, axis: int = 0):
     """Device-put a host batch (pytree of arrays) sharded over 'data' on the
-    leading axis; the TPU equivalent of the reference's ``.to(device)``.
+    batch axis (``axis``; pass 1 for (K, B, ...) multi-step super-batches);
+    the TPU equivalent of the reference's ``.to(device)``.
 
     On a degenerate 1-device mesh this is a plain device_put — NamedSharding
     placement is skipped there (it also hangs the experimental axon TPU
@@ -92,7 +95,7 @@ def shard_batch(mesh: Mesh, batch):
         x = np.asarray(x)
         if single:
             return jax.device_put(x, mesh.devices.flat[0])
-        return jax.device_put(x, data_sharding(mesh, x.ndim))
+        return jax.device_put(x, data_sharding(mesh, x.ndim, axis))
     return jax.tree_util.tree_map(put, batch)
 
 

@@ -69,6 +69,16 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array,
     m0 = jnp.full((b, h, n), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, h, n), jnp.float32)
     acc0 = jnp.zeros((b, h, n, d), jnp.float32)
+    # ppermute marks K/V as varying over the ring axis; every scan carry leaf
+    # must enter with the same varying-manual-axes type (jax 0.9 vma
+    # tracking). Inputs sharded over the axis are already varying — pcast
+    # only the ones that aren't.
+    def _mark_varying(x):
+        if axis_name in getattr(jax.typeof(x), "vma", ()):
+            return x
+        return lax.pcast(x, (axis_name,), to="varying")
+
+    k, v, m0, l0, acc0 = map(_mark_varying, (k, v, m0, l0, acc0))
     (_, _, _, l, acc), _ = lax.scan(step, (k, v, m0, l0, acc0), None,
                                     length=axis_size)
     out = acc / l[..., None]                            # (b, h, n, d)

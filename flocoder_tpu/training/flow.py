@@ -96,7 +96,8 @@ def make_flow_train_step(model_apply: Callable, tx,
                          remat: bool = False,
                          encode_fn: Optional[Callable] = None,
                          donate: Optional[bool] = None,
-                         mesh=None, axis_name: Optional[str] = None):
+                         mesh=None, axis_name: Optional[str] = None,
+                         steps_per_call: int = 1):
     """Build the jitted train step.
 
     ``model_apply(params, x, t_vec, cond)`` and (optionally)
@@ -118,7 +119,13 @@ def make_flow_train_step(model_apply: Callable, tx,
     gathers, vs. the global ``target[idx]`` gather the plain-jit path implies
     on a real mesh). Per-shard noise/t draws fold the axis index into the
     rng; the CFG dropout gate stays batch-global (reference semantics:
-    train_flow.py:344-346 drops the whole batch)."""
+    train_flow.py:344-346 drops the whole batch).
+
+    ``steps_per_call``: when >1 the returned function takes batches stacked
+    on a leading (K, B, ...) axis and runs K optimizer steps in one
+    ``lax.scan`` — one host dispatch per K steps. rng contract: the call key
+    is split into K per-step keys, so K scanned steps reproduce K single
+    steps fed ``jax.random.split(rng, K)[i]``."""
     if remat:
         model_apply = jax.checkpoint(model_apply)
     if donate is None:
@@ -227,12 +234,35 @@ def make_flow_train_step(model_apply: Callable, tx,
         aux["grad_norm"] = optax.global_norm(grads)
         return new_state, aux
 
+    if steps_per_call > 1:
+        # Multi-step dispatch: scan the step over a leading micro-batch axis
+        # so ONE host dispatch drives `steps_per_call` optimizer steps. On a
+        # slow/1-core host the per-dispatch Python+pytree overhead dominates
+        # the 4 ms jitted step (docs/BENCH_NOTES.md tpu_demo notes); the scan
+        # amortizes it K×. Batch arrays carry shape (K, B, ...).
+        inner = step_fn
+
+        def step_fn(state: FlowState, superbatch: dict, rng: jax.Array):  # noqa: F811
+            keys = jax.random.split(rng, steps_per_call)
+
+            def body(s, xs):
+                b, k = xs
+                return inner(s, b, k)
+
+            state, auxs = jax.lax.scan(body, state, (superbatch, keys))
+            # report the last step's metrics plus the window-mean loss
+            aux = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+            aux["loss_mean"] = jnp.mean(auxs["loss"])
+            return state, aux
+
     if mesh is not None:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
+        batch_spec = (P(None, axis_name) if steps_per_call > 1
+                      else P(axis_name))
         sharded = shard_map(
             step_fn, mesh=mesh,
-            in_specs=(P(), P(axis_name), P()),   # state repl, batch sharded,
+            in_specs=(P(), batch_spec, P()),     # state repl, batch sharded,
             out_specs=(P(), P()),                # rng repl → repl outputs
             check_rep=False)
         return jax.jit(sharded, donate_argnums=(0,) if donate else ())

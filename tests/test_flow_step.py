@@ -86,3 +86,60 @@ def test_eval_step_matches_manual():
     batch = {"target": jnp.ones((4, 4, 4, 2))}
     loss = float(eval_step(params, batch, jax.random.PRNGKey(3)))
     assert np.isfinite(loss) and loss > 0
+
+
+def test_multistep_matches_sequential():
+    """steps_per_call=K scan == K sequential single steps fed the split keys
+    (the documented rng contract of make_flow_train_step)."""
+    apply_fn, params = _tiny_model()
+    tx = make_flow_optimizer(1e-2)
+    K, B = 3, 8
+    rng = np.random.default_rng(0)
+    batches = [{"target": jnp.asarray(
+        rng.standard_normal((B, 4, 4, 2)), jnp.float32)} for _ in range(K)]
+    key = jax.random.PRNGKey(7)
+
+    # sequential single steps
+    step1 = make_flow_train_step(apply_fn, tx, use_ot=True, donate=False)
+    state_seq = create_flow_state(params, tx)
+    keys = jax.random.split(key, K)
+    for i in range(K):
+        state_seq, aux_seq = step1(state_seq, batches[i], keys[i])
+
+    # one multi-step dispatch
+    stepK = make_flow_train_step(apply_fn, tx, use_ot=True, donate=False,
+                                 steps_per_call=K)
+    state_multi = create_flow_state(params, tx)
+    super_batch = {"target": jnp.stack([b["target"] for b in batches])}
+    state_multi, aux_multi = stepK(state_multi, super_batch, key)
+
+    np.testing.assert_allclose(
+        np.asarray(state_multi.params["model"]["w"]),
+        np.asarray(state_seq.params["model"]["w"]), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(state_multi.ema["model"]["w"]),
+        np.asarray(state_seq.ema["model"]["w"]), rtol=1e-6, atol=1e-7)
+    assert int(state_multi.step) == K
+    # last-step metrics + window mean are reported
+    np.testing.assert_allclose(float(aux_multi["loss"]),
+                               float(aux_seq["loss"]), rtol=1e-6)
+    assert "loss_mean" in aux_multi
+
+
+def test_multistep_sharded_mesh():
+    """Multi-step scan composes with the shard_map mesh path."""
+    from flocoder_tpu.parallel.mesh import make_mesh, shard_batch
+    apply_fn, params = _tiny_model()
+    tx = make_flow_optimizer(1e-2)
+    mesh = make_mesh(n_data=4)
+    K, B = 2, 8
+    step = make_flow_train_step(apply_fn, tx, use_ot=True, donate=False,
+                                mesh=mesh, steps_per_call=K)
+    state = create_flow_state(params, tx)
+    rng = np.random.default_rng(1)
+    super_batch = shard_batch(mesh, {
+        "target": rng.standard_normal((K, B, 4, 4, 2)).astype(np.float32)},
+        axis=1)
+    state, aux = step(state, super_batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(aux["loss"]))
+    assert int(state.step) == K

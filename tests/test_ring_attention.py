@@ -71,8 +71,10 @@ def test_ring_local_single_device_degenerate():
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     mesh = make_mesh(n_data=1, n_model=1)
+    # out is marked varying over the (size-1) ring axis by the ppermute
+    spec = P(None, "model", None, None)
     out = shard_map(one, mesh=mesh,
-                    in_specs=(P(), P(), P()), out_specs=P())(q, k, v)
+                    in_specs=(spec, spec, spec), out_specs=spec)(q, k, v)
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(full_attention(q, k, v)),
                                atol=1e-5, rtol=1e-5)

@@ -181,11 +181,15 @@ def train_flow(config):
         print(f"resumed from {resume} at epoch {ck['epoch']}")
 
     model_apply = lambda p, x, t, c: model.apply(p, x, t, c)
+    # steps_per_dispatch > 1: scan K optimizer steps inside ONE jitted call
+    # (amortizes host dispatch overhead — docs/BENCH_NOTES.md tpu_demo notes)
+    steps_per_call = max(int(ldcfg(config, "steps_per_dispatch", 1)), 1)
     train_step = make_flow_train_step(
         model_apply, tx, mask_encoder_apply=mask_encoder_apply,
         ema_decay=float(ldcfg(config, "ema_decay", 0.999)),
         encode_fn=encode_fn,
-        donate=ldcfg(config, "donate", None))
+        donate=ldcfg(config, "donate", None),
+        steps_per_call=steps_per_call)
     eval_step = make_flow_eval_step(model_apply,
                                     mask_encoder_apply=mask_encoder_apply)
 
@@ -205,16 +209,34 @@ def train_flow(config):
     # ---- training loop ----------------------------------------------------
     key = jax.random.PRNGKey(seed + 1)
     t_start = time.time()
+    def iter_dispatches(loader):
+        """Yield (batch_for_dispatch, n_steps_it_contains)."""
+        if steps_per_call == 1:
+            for b in loader:
+                yield b, 1
+            return
+        chunk = []
+        for b in loader:
+            chunk.append(b)
+            if len(chunk) == steps_per_call:
+                yield ({k: np.stack([c[k] for c in chunk])
+                        for k in chunk[0]}, steps_per_call)
+                chunk = []
+        # drop the remainder (partial windows would retrace the scan)
+
     for epoch in range(start_epoch, epochs + 1):
         ep_losses = []
+        n_steps_done = 0
         t_ep = time.time()
-        for batch in train_loader:
+        for batch, n_in in iter_dispatches(train_loader):
             key, k = jax.random.split(key)
-            state, aux = train_step(state, shard_batch(mesh, batch), k)
-            ep_losses.append(aux["loss"])
+            state, aux = train_step(
+                state, shard_batch(mesh, batch, axis=0 if n_in == 1 else 1), k)
+            ep_losses.append(aux.get("loss_mean", aux["loss"]))
+            n_steps_done += n_in
         # one device sync per epoch, not per step
         ep_losses = [float(x) for x in ep_losses]
-        steps_per_sec = len(ep_losses) / max(time.time() - t_ep, 1e-9)
+        steps_per_sec = n_steps_done / max(time.time() - t_ep, 1e-9)
         mean_loss = float(np.mean(ep_losses)) if ep_losses else float("nan")
         lr_now = float(sched(int(state.step)))
         print(f"epoch {epoch}/{epochs}  loss {mean_loss:.4f}  "
