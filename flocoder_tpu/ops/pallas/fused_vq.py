@@ -97,13 +97,50 @@ def fused_compress_vq(z: jax.Array, w: jax.Array, b: jax.Array,
 # whole compression tail + RVQ (VERDICT r1 item 5: extend the fusion window
 # to the 3×3 compression tail, reference codecs.py:435-440 + :504-521)
 
-def _rvq_levels(x, cb_all, L, K, hi):
-    """Unrolled residual-VQ levels on (N, D) tokens; returns (z_q, idx)."""
-    residual = x
-    z_q = jnp.zeros_like(x)
-    idxs = []
+def _tail_kernel(h_ref, w1_ref, b1_ref, gs_ref, gb_ref, cw_ref, cbias_ref,
+                 cb_ref, zq_ref, idx_ref, *, L: int, K: int, D: int,
+                 groups: int, eps: float, TB: int, H: int, W: int):
+    # Mosaic-robust formulation (the first version hard-crashed the TPU
+    # compiler, layout.h CHECK on implicit-dim layouts): no lane-dim
+    # slicing/concat (GroupNorm uses group-indicator masks instead), conv
+    # weights arrive as a 2-D (9·D, D) ref sliced on the sublane dim, RVQ
+    # indices are stored per level into a 2-D (N, L) ref — exactly the
+    # constructs the hardware-validated fused_compress_vq kernel uses.
+    hi = jax.lax.Precision.HIGHEST
+    x = h_ref[...].astype(jnp.float32)            # (TB, H, W, Din)
+    din = x.shape[-1]
+    # 1×1 compress (the only wide matmul — MXU): (TB·H·W, Din) @ (Din, D)
+    y = jnp.dot(x.reshape(TB * H * W, din), w1_ref[...], precision=hi,
+                preferred_element_type=jnp.float32) + b1_ref[...]
+    # GroupNorm per image per group (flax semantics: stats over H·W·C/g,
+    # biased variance). Group membership via a lane mask — no lane slicing.
+    y3 = y.reshape(TB, H * W, D)
+    gsz = D // groups
+    lane_group = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2) // gsz
+    denom = float(H * W * gsz)
+    ynorm = jnp.zeros_like(y3)
+    for g in range(groups):
+        mask = (lane_group == g).astype(jnp.float32)   # (1, 1, D)
+        sl = y3 * mask
+        m = jnp.sum(sl, axis=(1, 2), keepdims=True) / denom
+        v = jnp.sum(sl * sl, axis=(1, 2), keepdims=True) / denom - m * m
+        ynorm = ynorm + mask * ((y3 - m) * jax.lax.rsqrt(v + eps))
+    y3 = ynorm * gs_ref[...] + gb_ref[...]
+    y = jax.nn.silu(y3).reshape(TB, H, W, D)
+    # 3×3 conv, pad 1: nine shifted (TB·H·W, D) @ (D, D) matmuls
+    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = jnp.zeros((TB * H * W, D), jnp.float32) + cbias_ref[...]
+    for dy in range(3):
+        for dx in range(3):
+            patch = yp[:, dy:dy + H, dx:dx + W, :].reshape(TB * H * W, D)
+            tap = cw_ref[(dy * 3 + dx) * D:(dy * 3 + dx + 1) * D, :]
+            out = out + jnp.dot(patch, tap, precision=hi,
+                                preferred_element_type=jnp.float32)
+    # residual-VQ levels, unrolled; per-level column stores into the 2-D ref
+    residual = out
+    z_q = jnp.zeros_like(out)
     for lvl in range(L):
-        cb = cb_all[lvl]  # (K, D)
+        cb = cb_ref[lvl]  # (K, D)
         r2 = jnp.sum(residual * residual, axis=1, keepdims=True)
         c2 = jnp.sum(cb * cb, axis=1)[None, :]
         d = r2 + c2 - 2.0 * jnp.dot(residual, cb.T, precision=hi,
@@ -114,43 +151,8 @@ def _rvq_levels(x, cb_all, L, K, hi):
                     preferred_element_type=jnp.float32)
         z_q = z_q + q
         residual = residual - q
-        idxs.append(idx.astype(jnp.int32))
-    return z_q, jnp.stack(idxs, axis=1)
-
-
-def _tail_kernel(h_ref, w1_ref, b1_ref, gs_ref, gb_ref, cw_ref, cbias_ref,
-                 cb_ref, zq_ref, idx_ref, *, L: int, K: int, D: int,
-                 groups: int, eps: float, TB: int, H: int, W: int):
-    hi = jax.lax.Precision.HIGHEST
-    x = h_ref[...].astype(jnp.float32)            # (TB, H, W, Din)
-    din = x.shape[-1]
-    # 1×1 compress (the only wide matmul — MXU): (TB·H·W, Din) @ (Din, D)
-    y = jnp.dot(x.reshape(TB * H * W, din), w1_ref[...], precision=hi,
-                preferred_element_type=jnp.float32) + b1_ref[...]
-    # GroupNorm per image per group (flax semantics: stats over H·W·C/g,
-    # biased variance), groups unrolled — D is tiny so slices beat reshapes
-    # into sub-lane-sized trailing dims on TPU
-    y3 = y.reshape(TB, H * W, D)
-    gs = D // groups
-    parts = []
-    for g in range(groups):
-        sl = y3[:, :, g * gs:(g + 1) * gs]
-        m = jnp.mean(sl, axis=(1, 2), keepdims=True)
-        v = jnp.mean(sl * sl, axis=(1, 2), keepdims=True) - m * m
-        parts.append((sl - m) * jax.lax.rsqrt(v + eps))
-    y3 = jnp.concatenate(parts, axis=-1) * gs_ref[...] + gb_ref[...]
-    y = jax.nn.silu(y3).reshape(TB, H, W, D)
-    # 3×3 conv, pad 1: nine shifted (TB·H·W, D) @ (D, D) matmuls
-    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    out = jnp.zeros((TB * H * W, D), jnp.float32) + cbias_ref[...]
-    for dy in range(3):
-        for dx in range(3):
-            patch = yp[:, dy:dy + H, dx:dx + W, :].reshape(TB * H * W, D)
-            out = out + jnp.dot(patch, cw_ref[dy, dx], precision=hi,
-                                preferred_element_type=jnp.float32)
-    z_q, idx = _rvq_levels(out, cb_ref[...], L, K, hi)
-    zq_ref[...] = z_q.reshape(TB, H, W, D).astype(zq_ref.dtype)
-    idx_ref[...] = idx.reshape(TB, H, W, L)
+        idx_ref[:, lvl] = idx.astype(jnp.int32)
+    zq_ref[...] = z_q.astype(zq_ref.dtype)
 
 
 def fused_compress_tail_vq(h: jax.Array, w1: jax.Array, b1: jax.Array,
@@ -178,6 +180,9 @@ def fused_compress_tail_vq(h: jax.Array, w1: jax.Array, b1: jax.Array,
         h = jnp.concatenate(
             [h, jnp.zeros((b_pad, H, W, Din), h.dtype)], axis=0)
     n_tiles = h.shape[0] // tile_b
+    Bp = h.shape[0]
+    tok = tile_b * H * W           # tokens per tile
+    cw2 = conv_w.reshape(9 * D, D)  # (dy·3+dx)·D rows: 2-D sublane slicing
 
     kernel = functools.partial(_tail_kernel, L=L, K=K, D=D, groups=groups,
                                eps=eps, TB=tile_b, H=H, W=W)
@@ -190,18 +195,20 @@ def fused_compress_tail_vq(h: jax.Array, w1: jax.Array, b1: jax.Array,
             pl.BlockSpec((D,), lambda i: (0,)),
             pl.BlockSpec((D,), lambda i: (0,)),
             pl.BlockSpec((D,), lambda i: (0,)),
-            pl.BlockSpec((3, 3, D, D), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((9 * D, D), lambda i: (0, 0)),
             pl.BlockSpec((D,), lambda i: (0,)),
             pl.BlockSpec((L, K, D), lambda i: (0, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((tile_b, H, W, D), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((tile_b, H, W, L), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((tok, D), lambda i: (i, 0)),
+            pl.BlockSpec((tok, L), lambda i: (i, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((h.shape[0], H, W, D), h.dtype),
-            jax.ShapeDtypeStruct((h.shape[0], H, W, L), jnp.int32),
+            jax.ShapeDtypeStruct((Bp * H * W, D), h.dtype),
+            jax.ShapeDtypeStruct((Bp * H * W, L), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(h, w1, b1, gn_scale, gn_bias, conv_w, conv_b, codebooks)
-    return z_q[:B], idx[:B]
+    )(h, w1, b1, gn_scale, gn_bias, cw2, conv_b, codebooks)
+    z_q = z_q.reshape(Bp, H, W, D)[:B]
+    idx = idx.reshape(Bp, H, W, L)[:B]
+    return z_q, idx

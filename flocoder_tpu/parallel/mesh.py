@@ -9,8 +9,11 @@ recipe still runs on one device (or CPU).
 
 Sharding policy:
 - batch arrays: sharded over the 'data' axis (leading dim)
-- params / optimizer state / EMA: replicated (these models are small; FSDP-
-  style param sharding hooks are provided but default off)
+- params / optimizer state / EMA: replicated by default (these models are
+  small); opt-in FSDP-style parameter sharding via ``fsdp_param_shardings``
+  + ``shard_state`` — each large tensor is split on its largest divisible
+  dim over 'data' and XLA inserts the all-gathers/reduce-scatters when the
+  jitted step consumes it
 - RVQ codebook EMA statistics: accumulated per-shard, psum-reduced over 'data'
   (the one true cross-device reduction the algorithm family needs,
   SURVEY.md §2d)
@@ -28,6 +31,7 @@ __all__ = [
     "make_mesh", "data_sharding", "replicated", "shard_batch",
     "host_device_count", "maybe_init_distributed", "P", "Mesh",
     "DATA_AXIS", "MODEL_AXIS", "DCN_AXIS", "batch_axis_names",
+    "fsdp_param_shardings", "shard_state",
 ]
 
 DATA_AXIS = "data"
@@ -101,3 +105,44 @@ def shard_batch(mesh: Mesh, batch, axis: int = 0):
 
 def host_device_count() -> int:
     return jax.local_device_count()
+
+
+def fsdp_param_shardings(mesh: Mesh, tree, axis: str = DATA_AXIS,
+                         min_size: int = 2 ** 14):
+    """A NamedSharding pytree for FSDP-style parameter sharding: every
+    tensor with ≥ ``min_size`` elements is split over mesh axis ``axis``
+    along its largest evenly-divisible dim; everything else (and all
+    scalars) is replicated.
+
+    Used with plain-``jit`` train steps: place the state with
+    ``shard_state`` and XLA's SPMD partitioner inserts the all-gathers
+    (param use) and reduce-scatters (grad reduction) — the ZeRO-3 dataflow
+    — without any change to the step function. The shard_map path keeps
+    its explicit replicated-params layout instead."""
+    n = mesh.shape[axis]
+
+    def spec_for(x):
+        shape = getattr(x, "shape", ())
+        if not shape or int(np.prod(shape)) < min_size:
+            return NamedSharding(mesh, P())
+        dims = [None] * len(shape)
+        order = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if shape[i] % n == 0:
+                dims[i] = axis
+                return NamedSharding(mesh, P(*dims))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, tree)
+
+
+def shard_state(mesh: Mesh, state, axis: str = DATA_AXIS,
+                min_size: int = 2 ** 14):
+    """Device-put a train state with FSDP parameter sharding (see
+    ``fsdp_param_shardings``). jit propagates the input shardings through
+    the step, so the optimizer update runs on the shards and parameters
+    stay sharded across steps."""
+    shardings = fsdp_param_shardings(mesh, state, axis=axis,
+                                     min_size=min_size)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), state, shardings)

@@ -199,3 +199,59 @@ def test_multislice_dcn_mesh_train_step():
     state = create_flow_state(params, tx)
     state, aux = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_fsdp_state_sharding_matches_replicated(mesh):
+    """FSDP-style param sharding (fsdp_param_shardings + shard_state) through
+    the plain-jit train step must reproduce the replicated run exactly —
+    XLA's SPMD partitioner owns the all-gather/reduce-scatter dataflow."""
+    if mesh.size < 2:
+        pytest.skip("needs multiple devices")
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.parallel.mesh import fsdp_param_shardings, shard_state
+    from flocoder_tpu.training.flow import (create_flow_state,
+                                            make_flow_optimizer,
+                                            make_flow_train_step)
+    C, H = 1, 4
+    model = Unet(dim=8, dim_mults=(1, 2), channels=C, n_classes=2,
+                 resnet_block_groups=2)
+    cond0 = {"class_cond": jnp.zeros((2,), jnp.int32), "mask_cond": None}
+    params = {"model": model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((2, H, H, C)), jnp.zeros((2,)),
+                                  cond0)}
+    tx = make_flow_optimizer(3e-3)
+    apply_fn = lambda p, x, t, c: model.apply(p, x, t, c)
+    step = make_flow_train_step(apply_fn, tx, donate=False)
+
+    rng_np = np.random.default_rng(0)
+    cls = rng_np.integers(0, 2, 16).astype(np.int32)
+    target = rng_np.standard_normal((16, H, H, C)).astype(np.float32)
+    batch = shard_batch(mesh, {"target": target, "class_cond": cls})
+
+    # some tensor actually gets sharded (min_size tuned down for the test)
+    sh = fsdp_param_shardings(mesh, create_flow_state(params, tx),
+                              min_size=64)
+    n_sharded = sum(
+        1 for s in jax.tree_util.tree_leaves(
+            sh, is_leaf=lambda x: hasattr(x, "spec"))
+        if any(d is not None for d in s.spec))
+    assert n_sharded > 0
+
+    state_rep = create_flow_state(params, tx)
+    state_fsdp = shard_state(mesh, create_flow_state(params, tx),
+                             min_size=64)
+    for i in range(3):
+        k = jax.random.PRNGKey(i)
+        state_rep, aux_rep = step(state_rep, batch, k)
+        state_fsdp, aux_fsdp = step(state_fsdp, batch, k)
+    np.testing.assert_allclose(float(aux_fsdp["loss"]),
+                               float(aux_rep["loss"]), rtol=1e-5)
+    w_rep = jax.tree_util.tree_leaves(state_rep.params)[0]
+    w_fsdp = jax.tree_util.tree_leaves(state_fsdp.params)[0]
+    np.testing.assert_allclose(np.asarray(w_fsdp), np.asarray(w_rep),
+                               rtol=1e-5, atol=1e-6)
+    # params are STILL sharded after the steps (sharding survived the jit)
+    leaves = jax.tree_util.tree_leaves(state_fsdp.params)
+    assert any(
+        not x.sharding.is_fully_replicated for x in leaves
+        if hasattr(x, "sharding")), "no param stayed sharded through steps"
