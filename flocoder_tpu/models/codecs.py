@@ -429,7 +429,10 @@ class VQVAE:
         return (z_q.reshape(b, h, w, c), idx.reshape(b, h, w, -1), loss,
                 new_vq)
 
-    def encode_quantize_fused(self, params, x, tile_b: int = 8):
+    def encode_quantize_fused(self, params, x, tile_b: int = 4):
+        # tile_b=4 keeps the per-tile RVQ distance matrices (tokens × K)
+        # inside the 16 MB scoped-VMEM limit at the production config
+        # (16² latents, K=512, L=3); tile_b=8 overflows by ~0.5 MB.
         """Inference-path encode+quantize with the compression tail and RVQ
         search fused in ONE Pallas kernel (1×1 → GN → SiLU → 3×3 → L VQ
         levels, no HBM round-trips between stages; reference:

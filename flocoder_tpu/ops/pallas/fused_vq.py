@@ -11,9 +11,16 @@ Per grid step (a tile of N tokens):
   x = z·W + b                           (MXU: (TN, Din) @ (Din, D))
   for each RVQ level l:                  (unrolled; L is small)
       d = ‖x‖² + ‖C_l‖² − 2 x·C_lᵀ       (MXU: (TN, D) @ (D, K))
-      idx_l = argmin d                   (VPU)
-      x -= C_l[idx_l]  (via one-hot matmul — gather-free on TPU)
+      pick_l = first-min one-hot of d    (VPU compare + cumsum tie-break)
+      x -= pick_l · C_l                  (one-hot matmul — gather-free)
   z_q = sum of selected codes; indices (TN, L)
+
+Mosaic discipline (learned the hard way — the first two formulations
+hard-crashed the TPU compiler with layout.h implicit-dim CHECKs): every
+value inside the kernels is rank-2 (or a scalar); no rank-1 refs or
+stores, no ``argmin`` (rank-1), no rank-3/4 intermediates. The same
+construct set as the hardware-proven NA2D kernels (ops/pallas/na2d.py):
+rank-2 broadcasted_iota, static slices, matmuls, full-block stores.
 
 Inference path (pre-encode with quantize=true, codebook tracking); training
 uses ops.rvq which also owns the EMA state updates.
@@ -30,27 +37,54 @@ from jax.experimental import pallas as pl
 __all__ = ["fused_compress_vq", "fused_compress_tail_vq"]
 
 
+def _first_min_onehot(d: jax.Array) -> jax.Array:
+    """Rank-2 (N, K) distances → rank-2 float one-hot of the FIRST minimum
+    per row (argmin tie-break semantics, without materializing a rank-1
+    index vector — and without cumsum, which Mosaic doesn't lower)."""
+    K = d.shape[1]
+    dmin = jnp.min(d, axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    cand = jnp.where(d <= dmin, lane, K)
+    kfirst = jnp.min(cand, axis=1, keepdims=True)
+    return (lane == kfirst).astype(jnp.float32)
+
+
+def _rvq_levels_rank2(x, cb_ref, L: int, K: int, hi):
+    """Unrolled residual-VQ on (N, D) tokens; returns (z_q (N, D),
+    idx (N, L) int32) with rank-2-only intermediates."""
+    N = x.shape[0]
+    residual = x
+    z_q = jnp.zeros_like(x)
+    idx_acc = jnp.zeros((N, L), jnp.float32)
+    # int iota only: Mosaic rejects float tpu.iota results
+    lane_l = jax.lax.broadcasted_iota(jnp.int32, (N, L), 1)
+    for lvl in range(L):
+        cb = cb_ref[lvl]                                   # (K, D)
+        r2 = jnp.sum(residual * residual, axis=1, keepdims=True)   # (N, 1)
+        c2 = jnp.sum(cb * cb, axis=1, keepdims=True)                # (K, 1)
+        d = r2 + c2.T - 2.0 * jnp.dot(residual, cb.T, precision=hi,
+                                      preferred_element_type=jnp.float32)
+        pick = _first_min_onehot(d)                        # (N, K)
+        q = jnp.dot(pick, cb, precision=hi,
+                    preferred_element_type=jnp.float32)    # (N, D)
+        z_q = z_q + q
+        residual = residual - q
+        kidx = jnp.sum(
+            pick * jax.lax.broadcasted_iota(jnp.int32, (N, K),
+                                            1).astype(jnp.float32),
+            axis=1, keepdims=True)                         # (N, 1)
+        idx_acc = idx_acc + jnp.where(lane_l == lvl, kidx, 0.0)
+    return z_q, idx_acc.astype(jnp.int32)
+
+
 def _kernel(z_ref, w_ref, b_ref, cb_ref, zq_ref, idx_ref, *, L: int, K: int,
             D: int):
     hi = jax.lax.Precision.HIGHEST  # fp32 MXU passes: argmin correctness
     x = jnp.dot(z_ref[...], w_ref[...], precision=hi,
                 preferred_element_type=jnp.float32) + b_ref[...]
-    residual = x
-    z_q = jnp.zeros_like(x)
-    for lvl in range(L):
-        cb = cb_ref[lvl]  # (K, D)
-        r2 = jnp.sum(residual * residual, axis=1, keepdims=True)
-        c2 = jnp.sum(cb * cb, axis=1)[None, :]
-        d = r2 + c2 - 2.0 * jnp.dot(residual, cb.T, precision=hi,
-                                    preferred_element_type=jnp.float32)
-        idx = jnp.argmin(d, axis=1)
-        onehot = jax.nn.one_hot(idx, K, dtype=jnp.float32)
-        q = jnp.dot(onehot, cb, precision=hi,
-                    preferred_element_type=jnp.float32)
-        z_q = z_q + q
-        residual = residual - q
-        idx_ref[:, lvl] = idx.astype(jnp.int32)
+    z_q, idx = _rvq_levels_rank2(x, cb_ref, L, K, hi)
     zq_ref[...] = z_q.astype(zq_ref.dtype)
+    idx_ref[...] = idx
 
 
 def fused_compress_vq(z: jax.Array, w: jax.Array, b: jax.Array,
@@ -77,7 +111,7 @@ def fused_compress_vq(z: jax.Array, w: jax.Array, b: jax.Array,
         in_specs=[
             pl.BlockSpec((tile_n, Din), lambda i: (i, 0)),
             pl.BlockSpec((Din, D), lambda i: (0, 0)),
-            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
             pl.BlockSpec((L, K, D), lambda i: (0, 0, 0)),
         ],
         out_specs=(
@@ -89,7 +123,7 @@ def fused_compress_vq(z: jax.Array, w: jax.Array, b: jax.Array,
             jax.ShapeDtypeStruct((z.shape[0], L), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(z, w, b, codebooks)
+    )(z, w, b.reshape(1, D), codebooks)
     return z_q[:N], idx[:N]
 
 
@@ -100,59 +134,54 @@ def fused_compress_vq(z: jax.Array, w: jax.Array, b: jax.Array,
 def _tail_kernel(h_ref, w1_ref, b1_ref, gs_ref, gb_ref, cw_ref, cbias_ref,
                  cb_ref, zq_ref, idx_ref, *, L: int, K: int, D: int,
                  groups: int, eps: float, TB: int, H: int, W: int):
-    # Mosaic-robust formulation (the first version hard-crashed the TPU
-    # compiler, layout.h CHECK on implicit-dim layouts): no lane-dim
-    # slicing/concat (GroupNorm uses group-indicator masks instead), conv
-    # weights arrive as a 2-D (9·D, D) ref sliced on the sublane dim, RVQ
-    # indices are stored per level into a 2-D (N, L) ref — exactly the
-    # constructs the hardware-validated fused_compress_vq kernel uses.
     hi = jax.lax.Precision.HIGHEST
-    x = h_ref[...].astype(jnp.float32)            # (TB, H, W, Din)
+    HW = H * W
+    N = TB * HW
+    x = h_ref[...].astype(jnp.float32)             # (TB, H, W, Din) block
     din = x.shape[-1]
-    # 1×1 compress (the only wide matmul — MXU): (TB·H·W, Din) @ (Din, D)
-    y = jnp.dot(x.reshape(TB * H * W, din), w1_ref[...], precision=hi,
+    # 1×1 compress (the only wide matmul — MXU): (N, Din) @ (Din, D)
+    y = jnp.dot(x.reshape(N, din), w1_ref[...], precision=hi,
                 preferred_element_type=jnp.float32) + b1_ref[...]
     # GroupNorm per image per group (flax semantics: stats over H·W·C/g,
-    # biased variance). Group membership via a lane mask — no lane slicing.
-    y3 = y.reshape(TB, H * W, D)
+    # biased variance). Rank-2 masked reductions; TB·groups unrolled —
+    # all tiny at the production sizes (TB=8, groups=2).
     gsz = D // groups
-    lane_group = jax.lax.broadcasted_iota(jnp.int32, (1, 1, D), 2) // gsz
-    denom = float(H * W * gsz)
-    ynorm = jnp.zeros_like(y3)
-    for g in range(groups):
-        mask = (lane_group == g).astype(jnp.float32)   # (1, 1, D)
-        sl = y3 * mask
-        m = jnp.sum(sl, axis=(1, 2), keepdims=True) / denom
-        v = jnp.sum(sl * sl, axis=(1, 2), keepdims=True) / denom - m * m
-        ynorm = ynorm + mask * ((y3 - m) * jax.lax.rsqrt(v + eps))
-    y3 = ynorm * gs_ref[...] + gb_ref[...]
-    y = jax.nn.silu(y3).reshape(TB, H, W, D)
-    # 3×3 conv, pad 1: nine shifted (TB·H·W, D) @ (D, D) matmuls
-    yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    out = jnp.zeros((TB * H * W, D), jnp.float32) + cbias_ref[...]
-    for dy in range(3):
-        for dx in range(3):
-            patch = yp[:, dy:dy + H, dx:dx + W, :].reshape(TB * H * W, D)
-            tap = cw_ref[(dy * 3 + dx) * D:(dy * 3 + dx + 1) * D, :]
-            out = out + jnp.dot(patch, tap, precision=hi,
+    row_img = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0) // HW
+    lane_grp = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1) // gsz
+    denom = float(HW * gsz)
+    ynorm = jnp.zeros_like(y)
+    for bi in range(TB):
+        for g in range(groups):
+            mask = ((row_img == bi) & (lane_grp == g)).astype(jnp.float32)
+            sl = y * mask
+            # keepdims (1,1) reductions: stay rank-2 end to end
+            m = jnp.sum(sl, axis=(0, 1), keepdims=True) / denom
+            v = (jnp.sum(sl * sl, axis=(0, 1), keepdims=True) / denom
+                 - m * m)
+            ynorm = ynorm + mask * ((y - m) * jax.lax.rsqrt(v + eps))
+    y = jax.nn.silu(ynorm * gs_ref[...] + gb_ref[...])   # (N, D)
+    # 3×3 conv, pad 1, on the flattened (N, D) map: each tap is a static
+    # row-roll + validity mask + (N, D) @ (D, D) matmul. A roll by
+    # (dy·W + dx) crosses image boundaries only at rows the y-validity mask
+    # already zeroes, so no rank-4 pad/slice is needed.
+    row = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0)
+    yy = (row // W) % H
+    xx = row % W
+    out = jnp.zeros((N, D), jnp.float32) + cbias_ref[...]
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            shift = dy * W + dx
+            # roll(0) lowers to a zero-size slice Mosaic rejects
+            src = y if shift == 0 else jnp.roll(y, -shift, axis=0)
+            valid = ((yy + dy >= 0) & (yy + dy < H) &
+                     (xx + dx >= 0) & (xx + dx < W)).astype(jnp.float32)
+            tap_i = (dy + 1) * 3 + (dx + 1)
+            tap = cw_ref[tap_i * D:(tap_i + 1) * D, :]    # (D, D)
+            out = out + jnp.dot(src * valid, tap, precision=hi,
                                 preferred_element_type=jnp.float32)
-    # residual-VQ levels, unrolled; per-level column stores into the 2-D ref
-    residual = out
-    z_q = jnp.zeros_like(out)
-    for lvl in range(L):
-        cb = cb_ref[lvl]  # (K, D)
-        r2 = jnp.sum(residual * residual, axis=1, keepdims=True)
-        c2 = jnp.sum(cb * cb, axis=1)[None, :]
-        d = r2 + c2 - 2.0 * jnp.dot(residual, cb.T, precision=hi,
-                                    preferred_element_type=jnp.float32)
-        idx = jnp.argmin(d, axis=1)
-        onehot = jax.nn.one_hot(idx, K, dtype=jnp.float32)
-        q = jnp.dot(onehot, cb, precision=hi,
-                    preferred_element_type=jnp.float32)
-        z_q = z_q + q
-        residual = residual - q
-        idx_ref[:, lvl] = idx.astype(jnp.int32)
+    z_q, idx = _rvq_levels_rank2(out, cb_ref, L, K, hi)
     zq_ref[...] = z_q.astype(zq_ref.dtype)
+    idx_ref[...] = idx
 
 
 def fused_compress_tail_vq(h: jax.Array, w1: jax.Array, b1: jax.Array,
@@ -192,11 +221,11 @@ def fused_compress_tail_vq(h: jax.Array, w1: jax.Array, b1: jax.Array,
         in_specs=[
             pl.BlockSpec((tile_b, H, W, Din), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((Din, D), lambda i: (0, 0)),
-            pl.BlockSpec((D,), lambda i: (0,)),
-            pl.BlockSpec((D,), lambda i: (0,)),
-            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
             pl.BlockSpec((9 * D, D), lambda i: (0, 0)),
-            pl.BlockSpec((D,), lambda i: (0,)),
+            pl.BlockSpec((1, D), lambda i: (0, 0)),
             pl.BlockSpec((L, K, D), lambda i: (0, 0, 0)),
         ],
         out_specs=(
@@ -208,7 +237,8 @@ def fused_compress_tail_vq(h: jax.Array, w1: jax.Array, b1: jax.Array,
             jax.ShapeDtypeStruct((Bp * H * W, L), jnp.int32),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(h, w1, b1, gn_scale, gn_bias, cw2, conv_b, codebooks)
+    )(h, w1, b1.reshape(1, D), gn_scale.reshape(1, D),
+      gn_bias.reshape(1, D), cw2, conv_b.reshape(1, D), codebooks)
     z_q = z_q.reshape(Bp, H, W, D)[:B]
     idx = idx.reshape(Bp, H, W, L)[:B]
     return z_q, idx

@@ -48,8 +48,24 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
     seed = int(ldcfg(config, "seed", 0)) + (0 if split == "train" else 1)
 
     is_midi = any(s in data_path.lower() for s in ("pop909", "midi"))
-    tf = (midi_transforms(image_size) if is_midi
-          else image_transforms(image_size))
+    # device_augs: the host decodes each image ONCE (single resize); the
+    # chip manufactures all augs_per frozen augmentations as one batched
+    # affine-gather executable (flocoder_tpu/data/device_augs.py) — removes
+    # the PIL host bottleneck SURVEY §3.2/§7 flags on the pre-encode pass.
+    device_augs = (bool(config.preencoding.get("device_augs", False))
+                   and not is_midi)
+    augment = None
+    if device_augs:
+        from flocoder_tpu.data.device_augs import (default_src_size,
+                                                   load_resized,
+                                                   make_device_augment)
+        src_size = default_src_size(image_size)
+        tf = lambda img, rng: load_resized(img, src_size)
+        augment = make_device_augment(image_size)
+        aug_key = jax.random.PRNGKey(seed + 7919)
+    else:
+        tf = (midi_transforms(image_size) if is_midi
+              else image_transforms(image_size))
     if os.path.isdir(data_path):
         dataset = ImageFolderDataset(data_path, transform=tf)
     else:
@@ -143,6 +159,8 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
             batch = next(batch_iter)
         pixels = jnp.asarray(batch["pixels"])
         labels = np.asarray(batch["class_cond"])
+        if augment is not None:
+            pixels = augment(pixels, jax.random.fold_in(aug_key, b))
         if inpainting:
             masks = generate_mask_batch(pixels.shape[1:3],
                                         batch_size=pixels.shape[0],
