@@ -43,19 +43,38 @@ def main():
                       "error": str(last_err)[:200]}))
 
 
-def _timed(fn, *args, warmup: int = 2, iters: int = 10):
-    """Per-call blocking timer (axon queue semantics under-report pipelined
-    dispatch; block_until_ready per call is the honest measurement)."""
+def _timed_scan(body, K: int = 4, reps: int = 3):
+    """Scan-inside-jit timer with VALUE-FETCH barriers.
+
+    Timing discipline for the axon tunnel (docs/BENCH_NOTES.md round-2
+    'timing trap', established empirically this round):
+    - ``block_until_ready`` can acknowledge ~10 ms after dispatch without
+      real completion, and host-side chained loops can under-report 100×;
+    - only fetching a VALUE to the host (``float(...)``) is a true
+      barrier;
+    - the first post-compile execution absorbs a one-time ~30-40 s
+      program-load that even a prior fetched call can hide — so the first
+      timed rep is sacrificial.
+
+    ``body(carry: int32 scalar, key) -> (carry, out_scalar)``. Returns
+    seconds per iteration (median of the non-sacrificial reps)."""
     import jax
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, out
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(rng):
+        keys = jax.random.split(rng, K)
+        carry, outs = jax.lax.scan(body, jnp.int32(0), keys)
+        return outs
+
+    float(run(jax.random.PRNGKey(0))[-1])   # compile + fetch
+    times = []
+    for r in range(reps + 1):               # +1 sacrificial
+        t0 = time.perf_counter()
+        float(run(jax.random.PRNGKey(100 + r))[-1])
+        times.append((time.perf_counter() - t0) / K)
+    times = times[1:]
+    return sorted(times)[len(times) // 2]
 
 
 def _bench_flow_train(dtype=None):
@@ -77,27 +96,35 @@ def _bench_flow_train(dtype=None):
         {"class_cond": jnp.zeros((8,), jnp.int32), "mask_cond": None})}
     tx = make_flow_optimizer(1e-4)
     state = create_flow_state(params, tx)
+    # K steps inside ONE executable (lax.scan over micro-batches, the
+    # steps_per_call machinery) — one dispatch+block brackets K serialized
+    # optimizer steps; immune to the tunnel's completion-signal distortions
+    # (docs/BENCH_NOTES.md round-2 timing trap).
+    K = 60
     step = make_flow_train_step(lambda p, x, t, c: model.apply(p, x, t, c),
-                                tx)
+                                tx, steps_per_call=K)
     rng = np.random.default_rng(0)
     batch = shard_batch(mesh, {
-        "target": rng.standard_normal((B, H, H, C)).astype(np.float32),
-        "class_cond": rng.integers(0, n_classes, B).astype(np.int32),
-    })
-    key = jax.random.PRNGKey(0)
-    for _ in range(3):  # warmup/compile
-        key, k = jax.random.split(key)
-        state, aux = step(state, batch, k)
-    jax.block_until_ready(aux)
-    n_steps = 30
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        key, k = jax.random.split(key)
-        state, aux = step(state, batch, k)
-    jax.block_until_ready(aux)
-    dt = time.perf_counter() - t0
+        "target": rng.standard_normal((K, B, H, H, C)).astype(np.float32),
+        "class_cond": rng.integers(0, n_classes, (K, B)).astype(np.int32),
+    }, axis=1)
+    state, aux = step(state, batch, jax.random.PRNGKey(0))  # compile
+    float(aux["loss"])
+    # trial 0 is sacrificial: absorbs the one-time ~30-40 s program load
+    # the warmup fetch does not force (docs/BENCH_NOTES.md timing trap)
+    times = []
+    for trial in range(4):
+        n_disp = 3
+        t0 = time.perf_counter()
+        for r in range(n_disp):
+            state, aux = step(state, batch,
+                              jax.random.PRNGKey(10 + 3 * trial + r))
+        float(aux["loss"])      # value fetch = true completion barrier
+        times.append((time.perf_counter() - t0) / (n_disp * K))
+    times = sorted(times[1:])
+    per_step = times[len(times) // 2]
     del state, batch, params
-    return B * n_steps / dt
+    return B / per_step
 
 
 def _bench_sampler_and_codecs():
@@ -123,15 +150,14 @@ def _bench_sampler_and_codecs():
         apply_p = lambda p, x, t, c: model.apply(p, x, t, c)
 
         # ODE steps/sec: the jitted RK4 scan alone (CFG active → NFE=8/step)
-        @jax.jit
-        def latents_only(p, rng, cls):
+        def lat_body(carry, key):
             lat, _ = generate_latents(
-                lambda x, t, c: apply_p(p, x, t, c), (B, H, H, C), rng,
-                method="rk4", n_steps=n_steps,
+                lambda x, t, c: apply_p(params, x, t, c), (B, H, H, C),
+                jax.random.fold_in(key, carry), method="rk4",
+                n_steps=n_steps,
                 cond={"class_cond": cls, "mask_cond": None}, cfg_strength=3.0)
-            return lat
-        t_lat, _ = _timed(latents_only, params, jax.random.PRNGKey(1), cls,
-                          warmup=2, iters=5)
+            return lat.ravel()[0].astype(jnp.int32), lat.mean()
+        t_lat = _timed_scan(lat_body, K=3)
 
         # e2e: one executable RK4+decode (SD-VAE decoder, 16×16×4 → 128²)
         sd = SDVAE(image_size=128, weights_path="", dtype=dtype)
@@ -140,8 +166,12 @@ def _bench_sampler_and_codecs():
         e2e = make_e2e_sampler(apply_p, sd, (H, H, C), batch_size=B,
                                n_steps=n_steps, cfg_strength=3.0,
                                n_classes=n_classes)
-        t_e2e, _ = _timed(e2e, params, sd_params, jax.random.PRNGKey(3), cls,
-                          warmup=2, iters=3)
+
+        def e2e_body(carry, key):
+            _, img = e2e(params, sd_params, jax.random.fold_in(key, carry),
+                         cls)
+            return img.ravel()[0].astype(jnp.int32), img.mean()
+        t_e2e = _timed_scan(e2e_body, K=3)
         per_dtype[tag] = (n_steps / t_lat, B / t_e2e)
         del params, sd_params
     ode_steps_per_sec = max(v[0] for v in per_dtype.values())
@@ -152,11 +182,18 @@ def _bench_sampler_and_codecs():
     sd_params = sd.init(jax.random.PRNGKey(2),
                         jnp.zeros((1, 128, 128, 3), jnp.float32))
 
-    # pre-encode stage: SD-VAE encode at 128²
-    enc = jax.jit(lambda p, x: sd.encode(p, x))
+    # pre-encode stage: SD-VAE encode at 128²; carry perturbs the input so
+    # scan iterations are data-dependent
     px = jnp.asarray(np.random.default_rng(1).standard_normal(
         (B, 128, 128, 3)).astype(np.float32))
-    t_enc, _ = _timed(enc, sd_params, px, warmup=2, iters=5)
+
+    def _enc_body(enc_fn):
+        def body(carry, key):
+            z = enc_fn(px + carry.astype(jnp.float32) * 1e-9)
+            return z.ravel()[0].astype(jnp.int32), z.mean()
+        return body
+
+    t_enc = _timed_scan(_enc_body(lambda x: sd.encode(sd_params, x)), K=3)
     preencode_sps = B / t_enc
     del sd_params
 
@@ -165,11 +202,11 @@ def _bench_sampler_and_codecs():
                internal_dim=256, vq_embedding_dim=4, codebook_levels=3,
                vq_num_embeddings=512)
     vq_params = vq.init(jax.random.PRNGKey(4), px[:8])
-    fused = jax.jit(lambda p, x: vq.encode_quantize_fused(p, x)[0])
-    t_fused, _ = _timed(fused, vq_params, px, warmup=2, iters=5)
-    unfused = jax.jit(
-        lambda p, x: vq.quantize(p, vq.encode(p, x), train=False)[0])
-    t_unf, _ = _timed(unfused, vq_params, px, warmup=2, iters=5)
+    t_fused = _timed_scan(
+        _enc_body(lambda x: vq.encode_quantize_fused(vq_params, x)[0]), K=3)
+    t_unf = _timed_scan(
+        _enc_body(lambda x: vq.quantize(vq_params, vq.encode(vq_params, x),
+                                        train=False)[0]), K=3)
     return {
         "e2e_sampler_samples_per_sec": round(e2e_sps, 1),
         "ode_steps_per_sec": round(ode_steps_per_sec, 1),

@@ -18,16 +18,33 @@ import time
 import numpy as np
 
 
-def timed(fn, *args, warmup=2, iters=10):
-    import jax
+def _fetch(x):
+    """True completion barrier: fetch a derived VALUE to the host.
+    block_until_ready can acknowledge early on the axon tunnel
+    (docs/BENCH_NOTES.md round-2 timing trap)."""
+    import jax, jax.numpy as jnp
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.mean(leaf))
+
+
+def timed_chained(step, x0, warmup=2, iters=10, reps=3):
+    """Chained-dependency timer (step: x -> x, same structure) with
+    value-fetch barriers; the first timed rep is sacrificial (it absorbs
+    the one-time program-load the warmup fetch does not force)."""
+    x = x0
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        x = step(x)
+    _fetch(x)
+    times = []
+    for _ in range(reps + 1):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = step(x)
+        _fetch(x)
+        times.append((time.perf_counter() - t0) / iters)
+    times = sorted(times[1:])
+    return times[len(times) // 2]
 
 
 def report(name, t32, t16):
@@ -55,8 +72,12 @@ def sec_unet():
         batch = {"target": jnp.asarray(np.random.randn(B, H, H, C),
                                        jnp.float32),
                  "class_cond": jnp.zeros((B,), jnp.int32)}
-        t = timed(lambda s, b, k: step(s, b, k)[1]["loss"],
-                  state, batch, jax.random.PRNGKey(1))
+        def chain(carry):
+            s, k = carry
+            k, sub = jax.random.split(k)
+            s, _ = step(s, batch, sub)
+            return (s, k)
+        t = timed_chained(chain, (state, jax.random.PRNGKey(1)), iters=20)
         print(f"unet train step [{tag}]: {t * 1e3:.2f} ms "
               f"({B / t:.0f} samples/s)")
 
@@ -95,8 +116,13 @@ def sec_codec():
             # skips it (its cotangent is float0, never materialized)
             g = jax.jit(jax.grad(lambda p, xb, rng: loss_fn(p, xb, rng),
                                  allow_int=True))
-            ts[tag] = timed(lambda p: g(p, x, jax.random.PRNGKey(1)), params,
-                            iters=5)
+
+            def chain(xb):
+                grads = g(params, xb, jax.random.PRNGKey(1))
+                leaf = jax.tree_util.tree_leaves(grads)[0]
+                # eager scalar dep: next input waits on this step's grads
+                return x + leaf.ravel()[0] * 0.0
+            ts[tag] = timed_chained(chain, x, iters=5)
         report(f"codec fwd+bwd 128² [{variant}]", ts["fp32"], ts["bf16"])
 
 
@@ -110,27 +136,26 @@ def sec_ops():
 
     for dt, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
         x = jnp.asarray(np.random.randn(16, 32, 32, 256), jnp.float32).astype(dt)
-        f = jax.jit(lambda x: pixel_shuffle(x, 2))
-        t_ps = timed(f, x)
-        f2 = jax.jit(lambda x: pixel_unshuffle(x, 2))
-        t_pu = timed(f2, x)
-        print(f"pixel_shuffle 32²x256 [{tag}]: {t_ps * 1e3:.3f} ms   "
-              f"unshuffle: {t_pu * 1e3:.3f} ms")
+        # shuffle→unshuffle round trip chains itself (same shape)
+        f = jax.jit(lambda x: pixel_unshuffle(pixel_shuffle(x, 2), 2))
+        t_ps = timed_chained(f, x, iters=20)
+        print(f"pixel_shuffle+unshuffle 32²x256 [{tag}]: {t_ps * 1e3:.3f} ms")
 
     for dt, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
         lat = jnp.asarray(np.random.randn(16, 16, 16, 4), jnp.float32).astype(dt)
         m = SpatialNonLocalAttention(dtype=dt)
         p = m.init(jax.random.PRNGKey(0), lat)
-        f = jax.jit(lambda p, x: m.apply(p, x))
+        f = jax.jit(lambda x: lat + 1e-3 * m.apply(p, x))
         print(f"RoPE nonlocal attn 16²x4 [{tag}]: "
-              f"{timed(f, p, lat) * 1e3:.3f} ms")
+              f"{timed_chained(f, lat, iters=20) * 1e3:.3f} ms")
 
     for dt, tag in ((jnp.float32, "fp32"), (jnp.bfloat16, "bf16")):
-        q = jnp.asarray(np.random.randn(16, 32, 32, 256), jnp.float32).astype(dt)
-        fb = jax.jit(lambda q: na2d_banded(q, q, q, 7, 8))
-        fp = jax.jit(lambda q: na2d_pallas(q, q, q, 7, 8, None))
-        print(f"na2d 32²x256 [{tag}]: banded {timed(fb, q) * 1e3:.3f} ms   "
-              f"pallas {timed(fp, q) * 1e3:.3f} ms")
+        q0 = jnp.asarray(np.random.randn(16, 32, 32, 256), jnp.float32).astype(dt)
+        fb = jax.jit(lambda q: q0 + 1e-3 * na2d_banded(q, q, q, 7, 8))
+        fp = jax.jit(lambda q: q0 + 1e-3 * na2d_pallas(q, q, q, 7, 8, None))
+        print(f"na2d 32²x256 [{tag}]: "
+              f"banded {timed_chained(fb, q0, iters=20) * 1e3:.3f} ms   "
+              f"pallas {timed_chained(fp, q0, iters=20) * 1e3:.3f} ms")
 
 
 def sec_width():
@@ -149,12 +174,13 @@ def sec_width():
                 jax.random.PRNGKey(0), jnp.zeros((8, H, H, C)),
                 jnp.zeros((8,)), {"class_cond": jnp.zeros((8,), jnp.int32),
                                   "mask_cond": None})
-            x = jnp.asarray(np.random.randn(B, H, H, C), jnp.float32)
+            x0 = jnp.asarray(np.random.randn(B, H, H, C), jnp.float32)
             t = jnp.full((B,), 500.0)
             cls = jnp.zeros((B,), jnp.int32)
             f = jax.jit(lambda p, x, t, c: model.apply(
                 p, x, t, {"class_cond": c, "mask_cond": None}))
-            ts[tag] = timed(f, params, x, t, cls)
+            ts[tag] = timed_chained(
+                lambda x: x0 + 1e-3 * f(params, x, t, cls), x0, iters=20)
         report(f"unet fwd dim={dim}", ts["fp32"], ts["bf16"])
 
 

@@ -45,17 +45,23 @@ def main():
           f"{idx_match * 100:.2f}% (baseline XLA precision drift ~97%)")
     assert idx_match > 0.95, f"RVQ index disagreement: {idx_match}"
 
-    def timed_chained(step, x0, warmup=3, iters=30):
+    def timed_chained(step, x0, warmup=3, iters=30, reps=3):
+        # value-fetch barrier + sacrificial first rep (block_until_ready
+        # acks early on this tunnel — docs/BENCH_NOTES.md timing trap)
         x = x0
         for _ in range(warmup):
             x = step(x)
-        jax.block_until_ready(x)
-        x = x0
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            x = step(x)
-        jax.block_until_ready(x)
-        return (time.perf_counter() - t0) / iters
+        float(jnp.mean(x))
+        times = []
+        for _ in range(reps + 1):
+            x = x0
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                x = step(x)
+            float(jnp.mean(x))
+            times.append((time.perf_counter() - t0) / iters)
+        times = sorted(times[1:])
+        return times[len(times) // 2]
 
     # chain: decode path isn't under test; mix the quantized latent back
     # into the pixels so iterations are data-dependent

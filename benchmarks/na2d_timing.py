@@ -20,19 +20,25 @@ import time
 import numpy as np
 
 
-def timed_chained(step, x0, warmup=3, iters=50):
-    """step: x -> x (same shape). Chain through iters, block once."""
-    import jax
+def timed_chained(step, x0, warmup=3, iters=50, reps=3):
+    """step: x -> x (same shape). Chain through iters; VALUE-fetch barrier
+    (block_until_ready can ack early on the axon tunnel) and a sacrificial
+    first rep (one-time program load) — docs/BENCH_NOTES.md timing trap."""
+    import jax.numpy as jnp
     x = x0
     for _ in range(warmup):
         x = step(x)
-    jax.block_until_ready(x)
-    x = x0
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = step(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters
+    float(jnp.mean(x))
+    times = []
+    for _ in range(reps + 1):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            x = step(x)
+        float(jnp.mean(x))
+        times.append((time.perf_counter() - t0) / iters)
+    times = sorted(times[1:])
+    return times[len(times) // 2]
 
 
 def main():
