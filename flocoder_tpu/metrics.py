@@ -247,7 +247,14 @@ def compute_sample_metrics(pred_latents, target_latents, decoded_pred,
         from .ops.fid import default_feature_fn
         feature_fn = default_feature_fn(image_size=decoded_target.shape[1])
     return {
-        "FID_px": fid_score(decoded_target, decoded_pred,
+        # FID consumes per-image min-max uint8 renders, matching the
+        # reference's to_uint8 → FrechetInceptionDistance pipeline
+        # (metrics.py:258-263, 291-308). Feeding raw decoded floats let a
+        # single >2.0 pixel trip the feature extractor's uint8-range
+        # heuristic and crush the whole batch to a constant (degenerate
+        # covariance → FID_px=nan in on-chip evals).
+        "FID_px": fid_score(to_uint8(decoded_target),
+                            to_uint8(decoded_pred),
                             feature_fn=feature_fn),
         "sinkhorn": sinkhorn_loss(tl, pl),
         "sinkhorn_px": sinkhorn_loss(decoded_target, decoded_pred),

@@ -30,9 +30,16 @@ __all__ = ["frechet_distance", "fid_score", "fid_score_chunked",
            "default_feature_fn", "feature_backend_name"]
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 def sqrtm_newton_schulz(A: jax.Array, n_iters: int = 20) -> jax.Array:
     """Matrix square root of a PSD matrix via the Newton–Schulz iteration
-    (on-device replacement for scipy.linalg.sqrtm)."""
+    (on-device replacement for scipy.linalg.sqrtm).
+
+    Matmuls are forced to fp32 HIGHEST: XLA's TPU default is bf16-mixed,
+    under which the iteration diverges to NaN (observed as FID_px=nan in
+    on-chip evals; CPU tests pin highest globally and never saw it)."""
     dim = A.shape[0]
     norm = jnp.linalg.norm(A)
     Y = A / norm
@@ -41,8 +48,9 @@ def sqrtm_newton_schulz(A: jax.Array, n_iters: int = 20) -> jax.Array:
 
     def body(carry, _):
         Y, Z = carry
-        T = 0.5 * (3.0 * I - Z @ Y)
-        return (Y @ T, T @ Z), None
+        T = 0.5 * (3.0 * I - jnp.matmul(Z, Y, precision=_HI))
+        return (jnp.matmul(Y, T, precision=_HI),
+                jnp.matmul(T, Z, precision=_HI)), None
 
     (Y, Z), _ = jax.lax.scan(body, (Y, Z), None, length=n_iters)
     return Y * jnp.sqrt(norm)
@@ -72,7 +80,8 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps_rel: float = 1e-3,
     scale = 0.5 * (jnp.trace(cov1) + jnp.trace(cov2)) / dim
     off = (eps_rel * scale + 1e-10) * jnp.eye(dim, dtype=cov1.dtype)
     c1, c2 = cov1 + off, cov2 + off
-    covmean = sqrtm_newton_schulz(c1 @ c2, n_iters=n_sqrt_iters)
+    covmean = sqrtm_newton_schulz(jnp.matmul(c1, c2, precision=_HI),
+                                  n_iters=n_sqrt_iters)
     tr = jnp.trace(c1) + jnp.trace(c2) - 2.0 * jnp.trace(covmean)
     return jnp.dot(diff, diff) + tr
 
@@ -80,7 +89,8 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps_rel: float = 1e-3,
 def _stats(feats: jax.Array):
     mu = feats.mean(axis=0)
     centered = feats - mu
-    cov = (centered.T @ centered) / (feats.shape[0] - 1)
+    cov = jnp.matmul(centered.T, centered,
+                     precision=_HI) / (feats.shape[0] - 1)
     return mu, cov
 
 
@@ -91,8 +101,14 @@ def make_random_projection_features(dim: int = 2048, seed: int = 0,
     stand-in for the Inception feature map (see module docstring)."""
     def feature_fn(images: jax.Array) -> jax.Array:
         x = images.astype(jnp.float32)
-        if x.max() > 2.0:
+        if images.dtype == jnp.uint8:
             x = x / 127.5 - 1.0
+        else:
+            # float inputs are nominally [-1, 1]; clip outliers so a few
+            # extreme pixels can't saturate the projection (a max()>2
+            # range heuristic here once crushed whole batches — see
+            # compute_sample_metrics note)
+            x = jnp.clip(x, -1.0, 1.0)
         b = x.shape[0]
         feats = []
         for s in (8, 4, 2):
