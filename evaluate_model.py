@@ -59,8 +59,9 @@ def main():
 
     model, params = b["model"], b["params"]
     metrics = evaluate_model(
-        lambda x, t, c: model.apply(params["model"], x, t, c),
-        b["codec"], b["codec_params"], epoch=0,
+        lambda p, x, t, c: model.apply(p, x, t, c),
+        params=params["model"],  # → fused generate+decode executable
+        codec=b["codec"], codec_params=b["codec_params"], epoch=0,
         target_latents=jnp.asarray(vb["target"]),
         rng=jax.random.PRNGKey(int(config.get("seed", 0))),
         cond={"class_cond": jnp.asarray(vb["class_cond"]), "mask_cond": None},

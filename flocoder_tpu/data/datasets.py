@@ -247,6 +247,18 @@ class Loader:
     def _assemble(self, items) -> dict:
         datas, labels = zip(*items)
         batch: dict = {"class_cond": np.stack(labels)}
+        if isinstance(datas[0], dict) and "target" in datas[0]:
+            # PairDataset items {'source', 'target'} (reference data.py:120-
+            # 143, source == target): stack once and ALIAS the duplicate —
+            # the reference's DataLoader collates both copies.
+            batch[self.key] = np.stack([d["target"]
+                                        for d in datas]).astype(np.float32)
+            if all(d["source"] is d["target"] for d in datas):
+                batch["source"] = batch[self.key]
+            else:
+                batch["source"] = np.stack([d["source"] for d in datas]
+                                           ).astype(np.float32)
+            return batch
         if isinstance(datas[0], dict):
             batch[self.key] = np.stack([d["target_latents"] for d in datas])
             if "source_latents" in datas[0]:
@@ -322,22 +334,85 @@ class Loader:
             pool.shutdown(wait=False, cancel_futures=True)
 
 
+class TorchvisionDataset:
+    """Adapter over a torchvision dataset (PIL image, int label) to this
+    module's ``get(i, rng)`` protocol — the dispatch-by-name path for
+    {Flowers102, STL10, Food101} (reference: data.py:448-457). Only reachable
+    where torchvision + network egress exist; callers fall back otherwise."""
+
+    def __init__(self, tv_dataset, transform: Optional[Callable] = None,
+                 n_classes: int = 0):
+        self.base = tv_dataset
+        self.transform = transform
+        self.n_classes = n_classes
+
+    def __len__(self):
+        return len(self.base)
+
+    def get(self, i: int, rng: np.random.Generator):
+        img, label = self.base[int(i)]
+        if self.transform is not None:
+            img = self.transform(img, rng)
+        return img, np.int32(label)
+
+
+def dataset_by_name(data_path: str, split: str, transform: Callable):
+    """The reference's dispatch-by-name shim (data.py:448-457 /
+    preencode_data.py:45-53): 'flowers' → torchvision Flowers102 (wrapped
+    ColorAware below by the caller), 'stl10' → STL10, 'food101' → Food101,
+    downloading when egress exists. Returns None when the name doesn't match
+    or torchvision/download is unavailable, so callers keep the
+    folder/synthetic fallback."""
+    name = str(data_path).lower()
+    try:
+        from torchvision import datasets as tvd
+    except ImportError:
+        return None
+    try:
+        if "flowers" in name:
+            tv = tvd.Flowers102(root=data_path, split=split,
+                                download=True)
+            return TorchvisionDataset(tv, transform, n_classes=102)
+        if "stl10" in name:
+            tv = tvd.STL10(root=data_path,
+                           split=("train" if split == "train" else "test"),
+                           download=True)
+            return TorchvisionDataset(tv, transform, n_classes=10)
+        if "food101" in name:
+            tv = tvd.Food101(root=data_path,
+                             split=("train" if split == "train" else "test"),
+                             download=True)
+            return TorchvisionDataset(tv, transform, n_classes=101)
+    except Exception as e:  # no egress / corrupt download → fallback
+        print(f"dataset_by_name({data_path}): {type(e).__name__}: {e}; "
+              "falling back to folder/synthetic")
+    return None
+
+
 def create_image_loaders(batch_size: int, image_size: int, data_path: str,
                          num_workers: int = 4, is_midi: bool = False,
                          config=None, val_frac: float = 0.1,
                          seed: int = 0) -> Tuple[Loader, Loader]:
-    """Train/val image loaders by dataset path (reference: data.py:434-480).
-    The reference dispatches on path substrings to torchvision downloads
-    {flowers, stl10, food101}; with no network egress here, any existing
-    directory is treated as an image folder and missing paths fall back to a
-    synthetic dataset (documented divergence — the download behavior can be
-    restored where egress exists)."""
+    """Train/val image loaders by dataset path (reference: data.py:434-480):
+    name-dispatch to torchvision {flowers → ColorAware(Flowers102), stl10,
+    food101} where egress exists, else an existing directory is an image
+    folder and missing paths fall back to a synthetic dataset. Both loaders
+    serve ``PairDataset``-wrapped items ((source, target) with source ==
+    target, reference data.py:476-477) — the Loader aliases the duplicate
+    array instead of stacking it twice."""
     from .transforms import image_transforms, midi_transforms
 
     tf = (midi_transforms(image_size) if is_midi
           else image_transforms(image_size))
     path = os.path.expanduser(data_path)
-    if os.path.isdir(path):
+    named = dataset_by_name(path, "train", tf)
+    if named is not None:
+        if "flowers" in path.lower():
+            # red/blue rejection sampling for Flowers (reference:
+            # data.py:450-451 wraps ColorAwareDataset around Flowers102)
+            named = ColorAwareDataset(named)
+        dataset = named
+    elif os.path.isdir(path):
         if is_midi and fast_scandir(path, (".mid", ".midi"))[1]:
             # raw MIDI corpus → convert to piano-roll images once, then
             # treat as an image dataset (reference: data.py:195-283)
@@ -365,9 +440,9 @@ def create_image_loaders(batch_size: int, image_size: int, data_path: str,
             return self.base.get(int(self.ids[i]), rng)
 
     # clamp per-split batch size so tiny splits still yield ≥1 batch
-    train = Loader(_Subset(dataset, idx[n_val:]),
+    train = Loader(PairDataset(_Subset(dataset, idx[n_val:])),
                    max(1, min(batch_size, n - n_val)), True, num_workers, seed)
-    val = Loader(_Subset(dataset, idx[:n_val]),
+    val = Loader(PairDataset(_Subset(dataset, idx[:n_val])),
                  max(1, min(batch_size, n_val)), True, num_workers, seed + 1)
     return train, val
 

@@ -38,7 +38,14 @@ def default_src_size(image_size: int) -> int:
 
 def load_resized(img, src_size: int) -> np.ndarray:
     """Host-side half of the pipeline: PIL image → float32 (S0, S0, C) in
-    [0, 1]. One resize per image, ever."""
+    [0, 1]. One resize per image, ever.
+
+    Square-source assumption: non-square images are squashed to S0×S0 here,
+    and the on-device RRC clamps its window per-dimension — so distributional
+    parity with the host pipeline (data/transforms.py:61-71, which retries
+    then falls back to plain resize) holds exactly for square sources and
+    approximately otherwise. Datasets with extreme aspect ratios should use
+    the host pipeline (preencoding.device_augs=false)."""
     from PIL import Image
     if img.mode != "RGB":
         img = img.convert("RGB")

@@ -98,16 +98,32 @@ def make_random_projection_features(dim: int = 2048, seed: int = 0,
                                     image_size: int = 128) -> Callable:
     """Deterministic random-feature extractor: multi-scale average pooling of
     pixels followed by a fixed Gaussian projection + tanh nonlinearity. A
-    stand-in for the Inception feature map (see module docstring)."""
+    stand-in for the Inception feature map (see module docstring).
+
+    Input contract: uint8 in [0,255], or float in [-1,1]. Float values
+    outside [-1,1] are clipped — a float image in 0-255 range would collapse
+    to near-constant features and a meaningless FID, so that case warns."""
     def feature_fn(images: jax.Array) -> jax.Array:
         x = images.astype(jnp.float32)
         if images.dtype == jnp.uint8:
             x = x / 127.5 - 1.0
         else:
-            # float inputs are nominally [-1, 1]; clip outliers so a few
+            # float inputs must be in [-1, 1]; clip outliers so a few
             # extreme pixels can't saturate the projection (a max()>2
-            # range heuristic here once crushed whole batches — see
-            # compute_sample_metrics note)
+            # range auto-rescale heuristic here once crushed whole batches —
+            # see compute_sample_metrics note). A whole image in 0-255
+            # float range indicates a caller bug → loud warning, since
+            # clipping it would yield a meaningless near-constant FID.
+            try:
+                if float(jnp.max(jnp.abs(x))) > 8.0:
+                    import warnings
+                    warnings.warn(
+                        "fid feature_fn: float input range looks like "
+                        "0-255; pass uint8 or rescale to [-1,1] "
+                        "(values are clipped to [-1,1])")
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                pass  # under jit: cannot inspect, keep the clip contract
             x = jnp.clip(x, -1.0, 1.0)
         b = x.shape[0]
         feats = []
@@ -145,9 +161,11 @@ def feature_backend_name(feature_fn: Optional[Callable]) -> str:
 def fid_score(real: jax.Array, fake: jax.Array,
               feature_fn: Optional[Callable] = None,
               eps_rel: float = 1e-3) -> jax.Array:
-    """FID between two image batches (NHWC, [-1,1] or uint8 range)
-    (reference API: metrics.py:291-308; gray inputs are channel-repeated
-    there — handled by the feature_fn operating on any channel count)."""
+    """FID between two image batches — NHWC, float strictly in [-1,1] or
+    uint8 in [0,255]; float 0-255 inputs are NOT auto-rescaled (the default
+    backend clips floats to [-1,1] and warns). (Reference API:
+    metrics.py:291-308; gray inputs are channel-repeated there — handled by
+    the feature_fn operating on any channel count.)"""
     if feature_fn is None:
         feature_fn = default_feature_fn()
     f_real = feature_fn(real)

@@ -11,7 +11,7 @@ Per grid step (a tile of N tokens):
   x = z·W + b                           (MXU: (TN, Din) @ (Din, D))
   for each RVQ level l:                  (unrolled; L is small)
       d = ‖x‖² + ‖C_l‖² − 2 x·C_lᵀ       (MXU: (TN, D) @ (D, K))
-      pick_l = first-min one-hot of d    (VPU compare + cumsum tie-break)
+      pick_l = first-min one-hot of d    (VPU: iota-based first-min pick)
       x -= pick_l · C_l                  (one-hot matmul — gather-free)
   z_q = sum of selected codes; indices (TN, L)
 
@@ -144,7 +144,8 @@ def _tail_kernel(h_ref, w1_ref, b1_ref, gs_ref, gb_ref, cw_ref, cbias_ref,
                 preferred_element_type=jnp.float32) + b1_ref[...]
     # GroupNorm per image per group (flax semantics: stats over H·W·C/g,
     # biased variance). Rank-2 masked reductions; TB·groups unrolled —
-    # all tiny at the production sizes (TB=8, groups=2).
+    # all tiny at the production sizes (tile_b=4 default for VMEM fit at
+    # 128², groups=2).
     gsz = D // groups
     row_img = jax.lax.broadcasted_iota(jnp.int32, (N, D), 0) // HW
     lane_grp = jax.lax.broadcasted_iota(jnp.int32, (N, D), 1) // gsz

@@ -17,11 +17,12 @@ neighborhood attention (32² and 16² feature maps, codecs.py:416-431):
   exactly ks×ks keys, windows slide inward at edges (verified against the
   gather oracle in tests/test_neighborhood_attention.py).
 
-Backward: a custom VJP re-expresses the op with the XLA gather reference
-implementation (ops.neighborhood_attention.na2d_reference) and differentiates
-that — correct gradients everywhere while the hand-written bwd kernel is
-pending. Forward-only paths (pre-encode, sampling-time decode) never pay the
-gather cost.
+Backward: a hand-written Pallas kernel (``_na2d_bwd_kernel`` below) — one
+program per (batch·head) slice, statically unrolled row bands, dQ/dK/dV
+accumulated with pad-and-add halo handling. Gradients are oracle-checked at
+the production k=7/8-head config (tests/test_pallas_na2d.py) and the full
+fwd+bwd pass beat the banded-XLA fallback 3.1–7.3× on hardware
+(docs/ROADMAP.md round-2 acceptance).
 """
 from __future__ import annotations
 

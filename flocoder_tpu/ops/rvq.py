@@ -99,6 +99,17 @@ def _rotation_trick(z: jax.Array, q: jax.Array) -> jax.Array:
     return scale * rot
 
 
+def _bcast0(x: jax.Array, axis_name) -> jax.Array:
+    """Broadcast shard 0's value to every device along ``axis_name`` (str or
+    tuple of names). Used to keep data-dependent random picks (k-means seeds,
+    dead-code reseeds) identical across shards so the replicated RVQ state
+    stays bitwise-replicated under shard_map."""
+    names = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    for nm in names:
+        x = jax.lax.all_gather(x, nm)[0]
+    return x
+
+
 def _quantize_level(z: jax.Array, cb: jax.Array, rotation_trick: bool):
     d = _sq_dists(z, cb)
     idx = jnp.argmin(d, axis=1)
@@ -164,6 +175,10 @@ def rvq_apply(state: RVQState, z: jax.Array, train: bool = False,
 
         codebooks = jax.lax.cond(state.initted,
                                  lambda c: c, do_init, codebooks)
+        if axis_name is not None:
+            # k-means ran on the LOCAL shard; adopt shard 0's centers so the
+            # replicated codebook state stays identical on every device
+            codebooks = _bcast0(codebooks, axis_name)
 
     residual = zf
     z_q = jnp.zeros_like(zf)
@@ -198,8 +213,12 @@ def rvq_apply(state: RVQState, z: jax.Array, train: bool = False,
             reseed_rng = jax.random.fold_in(rng, lvl + 1)
             pick = jax.random.randint(reseed_rng, (K,), 0, N)
             dead = ema_c < dead_threshold
-            cb_new = jnp.where(dead[:, None],
-                               jax.lax.stop_gradient(residual)[pick], cb_new)
+            reseed_vecs = jax.lax.stop_gradient(residual)[pick]
+            if axis_name is not None:
+                # picks came from the LOCAL shard's residuals; broadcast
+                # shard 0's (K, D) candidates so replication is preserved
+                reseed_vecs = _bcast0(reseed_vecs, axis_name)
+            cb_new = jnp.where(dead[:, None], reseed_vecs, cb_new)
             ema_c = jnp.where(dead, dead_threshold + 1.0, ema_c)
             ema_s = jnp.where(dead[:, None], cb_new * (dead_threshold + 1.0), ema_s)
             new_counts.append(ema_c)

@@ -92,13 +92,20 @@ def shard_batch(mesh: Mesh, batch, axis: int = 0):
 
     On a degenerate 1-device mesh this is a plain device_put — NamedSharding
     placement is skipped there (it also hangs the experimental axon TPU
-    backend used for single-chip tunneling)."""
+    backend used for single-chip tunneling). Arrays whose batch dim does not
+    divide the data-axis size (e.g. a trailing partial batch) are placed
+    replicated instead of sharded."""
     single = mesh.size == 1
+    names = batch_axis_names(mesh)
+    n_data = int(np.prod([mesh.shape[a] for a in
+                          ((names,) if isinstance(names, str) else names)]))
 
     def put(x):
         x = np.asarray(x)
         if single:
             return jax.device_put(x, mesh.devices.flat[0])
+        if x.ndim <= axis or x.shape[axis] % n_data != 0:
+            return jax.device_put(x, replicated(mesh))
         return jax.device_put(x, data_sharding(mesh, x.ndim, axis))
     return jax.tree_util.tree_map(put, batch)
 

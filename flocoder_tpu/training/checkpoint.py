@@ -28,6 +28,7 @@ from ..config import to_dict, config_from_dict
 __all__ = [
     "flatten_tree", "unflatten_tree", "save_checkpoint", "load_checkpoint",
     "load_into_tree", "keep_recent_files", "latest_checkpoint",
+    "save_checkpoint_sharded", "load_checkpoint_sharded",
 ]
 
 _SEP = "/"
@@ -109,6 +110,99 @@ def load_checkpoint(path: str) -> dict:
     out["epoch"] = epoch
     out["config"] = config
     return out
+
+
+def save_checkpoint_sharded(tree, epoch: int, ckpt_dir: str = "checkpoints",
+                            prefix: str = "flow_", config=None,
+                            keep: int = 5) -> str:
+    """Multi-host sharded checkpoint (SURVEY §5.4 TPU equivalent; VERDICT r2
+    #9): each host writes ONLY the array shards it can address —
+    ``{prefix}{epoch}.host{process_index}.npz`` — so saving never gathers
+    sharded (FSDP) state to one host. Shard keys encode the leaf path, the
+    global shape and the shard's offset, so ``load_checkpoint_sharded``
+    reassembles full arrays host-side and the result can be re-placed onto a
+    DIFFERENT mesh shape (or a single device). Replicated leaves are written
+    once per host and deduplicated on load.
+
+    The single-file ``save_checkpoint`` npz (the reference's
+    ``{model_state_dict,...}`` contract) remains the interchange format;
+    this is the scale path."""
+    pid = jax.process_index()
+    os.makedirs(ckpt_dir, exist_ok=True)
+    payload: dict = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = _SEP.join(_path_part(p) for p in path)
+        if not hasattr(leaf, "addressable_shards"):
+            if pid == 0:
+                payload[f"{key}@r"] = np.asarray(leaf)
+            continue
+        gshape = ",".join(str(d) for d in np.shape(leaf))
+        seen = set()
+        for shard in leaf.addressable_shards:
+            offs = tuple((s.start or 0) for s in shard.index)
+            if offs in seen:
+                continue  # replicated copy on another local device
+            seen.add(offs)
+            off_key = "-".join(str(o) for o in offs)
+            payload[f"{key}@{gshape}@{off_key}"] = np.asarray(shard.data)
+    if pid == 0:
+        payload["epoch"] = np.asarray(epoch)
+        if config is not None:
+            payload["config_json"] = np.asarray(json.dumps(to_dict(config)))
+    path = os.path.join(ckpt_dir, f"{prefix}{epoch}.host{pid}.npz")
+    np.savez_compressed(path, **payload)
+    keep_recent_files(keep * max(jax.process_count(), 1), directory=ckpt_dir,
+                      pattern=f"{prefix}*.host*.npz")
+    return path
+
+
+def load_checkpoint_sharded(ckpt_dir: str, prefix: str, epoch: int) -> dict:
+    """Reassemble a sharded checkpoint written by ``save_checkpoint_sharded``
+    from every ``{prefix}{epoch}.host*.npz`` under ``ckpt_dir``. Returns
+    {'state': nested tree of full numpy arrays, 'epoch': int, 'config': ...}
+    — place onto any mesh with ``parallel.mesh.shard_state`` / device_put
+    (mesh-shape independent restore)."""
+    files = sorted(glob.glob(os.path.join(ckpt_dir,
+                                          f"{prefix}{epoch}.host*.npz")))
+    if not files:
+        raise FileNotFoundError(
+            f"no {prefix}{epoch}.host*.npz under {ckpt_dir}")
+    flat: dict = {}
+    parts: dict = {}   # leaf key -> {offsets: array}, plus global shape
+    epoch_out, config = epoch, None
+    for f in files:
+        with np.load(f, allow_pickle=False) as data:
+            for key in data.files:
+                if key == "epoch":
+                    epoch_out = int(data[key])
+                    continue
+                if key == "config_json":
+                    config = config_from_dict(json.loads(str(data[key])))
+                    continue
+                leaf_key, _, tail = key.partition("@")
+                if tail == "r":  # unsharded host scalar/array
+                    flat[leaf_key] = data[key]
+                    continue
+                gshape_s, _, off_s = tail.partition("@")
+                gshape = tuple(int(d) for d in gshape_s.split(",") if d)
+                offs = tuple(int(o) for o in off_s.split("-") if o != "")
+                entry = parts.setdefault(leaf_key, {"shape": gshape,
+                                                    "shards": {}})
+                entry["shards"].setdefault(offs, data[key])
+    for leaf_key, entry in parts.items():
+        gshape = entry["shape"]
+        shards = entry["shards"]
+        sample = next(iter(shards.values()))
+        if not gshape:  # scalar
+            flat[leaf_key] = sample
+            continue
+        full = np.zeros(gshape, dtype=sample.dtype)
+        for offs, block in shards.items():
+            idx = tuple(slice(o, o + s) for o, s in zip(offs, block.shape))
+            full[idx] = block
+        flat[leaf_key] = full
+    return {"state": unflatten_tree(flat), "epoch": epoch_out,
+            "config": config}
 
 
 def load_into_tree(template, state_dict: dict, strict: bool = True):

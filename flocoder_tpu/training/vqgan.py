@@ -66,6 +66,31 @@ def make_vqgan_optimizers(learning_rate: float, d_lr_scale: float = 1e-3,
     return tx_g, tx_d
 
 
+def _resolve_axis(mesh, axis_name):
+    """When a mesh is supplied and no explicit axis_name, the batch axes of
+    the mesh (('dcn','data') multi-slice, 'data' otherwise)."""
+    if mesh is not None and axis_name is None:
+        from ..parallel.mesh import batch_axis_names
+        return batch_axis_names(mesh)
+    return axis_name
+
+
+def _mesh_wrap(step_fn, mesh, axis_name, donate):
+    """shard_map a (state, batch, rng) -> (state, aux, idx) codec train step
+    over the mesh: batch sharded on dim 0, state/rng replicated, per-sample
+    VQ indices returned sharded. Gradients/metrics are pmean'd and RVQ stats
+    psum'd INSIDE step_fn (axis_name is threaded), so state outputs are
+    replicated by construction."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P(axis_name), P()),
+        out_specs=(P(), P(), P(axis_name)),
+        check_rep=False)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
 def _g_trainable(params: dict) -> dict:
     """Encoder+decoder leaves get gradients; the RVQ state updates via EMA,
     not the optimizer."""
@@ -110,10 +135,17 @@ def _disc_apply_frozen(disc_apply, disc_vars, x):
 def make_vqgan_warmup_step(codec, tx_g, config,
                            perceptual_fn: Optional[Callable] = None,
                            axis_name: Optional[str] = None,
-                           donate: Optional[bool] = None):
-    """Reconstruction-only phase (reference: train_vqgan.py:194-210)."""
+                           donate: Optional[bool] = None,
+                           mesh=None):
+    """Reconstruction-only phase (reference: train_vqgan.py:194-210).
+
+    ``mesh``: when given, the step runs under ``shard_map`` with the batch
+    sharded over the mesh's data axes — gradients pmean-reduced and the RVQ
+    codebook EMA statistics psum-reduced over ICI (SURVEY §2d's one genuine
+    cross-device communication requirement)."""
     if donate is None:
         donate = _default_donate()
+    axis_name = _resolve_axis(mesh, axis_name)
     loss_fn = _generator_loss_fn(codec, config, perceptual_fn, None,
                                  use_gan=False, axis_name=axis_name)
 
@@ -121,6 +153,11 @@ def make_vqgan_warmup_step(codec, tx_g, config,
         (total, (losses, recon, idx, new_vq)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(_g_trainable(state.params),
                                    state.params["vq"], None, batch, rng)
+        aux = {k: v for k, v in losses.items()}
+        aux["total"] = total
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            aux = jax.lax.pmean(aux, axis_name)
         updates, opt_g = tx_g.update(grads, state.opt_g,
                                      _g_trainable(state.params))
         g_new = optax.apply_updates(_g_trainable(state.params), updates)
@@ -128,10 +165,10 @@ def make_vqgan_warmup_step(codec, tx_g, config,
         new_state = VQGANState(params=params, opt_g=opt_g,
                                disc_vars=state.disc_vars, opt_d=state.opt_d,
                                step=state.step + 1)
-        aux = {k: v for k, v in losses.items()}
-        aux["total"] = total
         return new_state, aux, idx
 
+    if mesh is not None:
+        return _mesh_wrap(step_fn, mesh, axis_name, donate)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
@@ -140,9 +177,11 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
                         perceptual_fn: Optional[Callable] = None,
                         axis_name: Optional[str] = None,
                         donate: Optional[bool] = None,
-                        lecam_weight: float = 0.0):
+                        lecam_weight: float = 0.0,
+                        mesh=None):
     """GAN phase: D step then G step in one executable
-    (reference: train_vqgan.py:213-246).
+    (reference: train_vqgan.py:213-246). ``mesh``: shard_map over the data
+    axes — D and G gradients pmean'd, RVQ stats psum'd (see warmup step).
 
     ``disc_apply_train(vars, x) -> ((logits, feats), new_vars)`` advances the
     spectral-norm power iteration; ``disc_apply_eval(vars, x) -> (logits,
@@ -152,6 +191,7 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
     ``lecam_weight`` config key)."""
     if donate is None:
         donate = _default_donate()
+    axis_name = _resolve_axis(mesh, axis_name)
 
     def step_fn(state: VQGANState, batch, rng):
         params = state.params
@@ -188,6 +228,12 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
         (d_loss, (new_disc_vars, real_features)), d_grads = \
             jax.value_and_grad(d_loss_fn, has_aux=True)(
                 state.disc_vars["params"])
+        if axis_name is not None:
+            d_grads = jax.lax.pmean(d_grads, axis_name)
+            d_loss = jax.lax.pmean(d_loss, axis_name)
+            # batch_stats (SN power-iteration vectors) averaged across shards
+            # so the replicated disc state stays identical on every device
+            new_disc_vars = jax.lax.pmean(new_disc_vars, axis_name)
         d_updates, opt_d = tx_d.update(d_grads, state.opt_d,
                                        state.disc_vars["params"])
         d_params_new = optax.apply_updates(state.disc_vars["params"],
@@ -207,17 +253,22 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
         (total, losses), (d_recon, d_commit) = jax.value_and_grad(
             g_loss_on_outputs, argnums=(0, 1), has_aux=True)(recon, commit)
         (g_grads,) = vjp_fn((d_recon, d_commit))
+        aux = {k: v for k, v in losses.items()}
+        aux["total"] = total
+        if axis_name is not None:
+            g_grads = jax.lax.pmean(g_grads, axis_name)
+            aux = jax.lax.pmean(aux, axis_name)
         g_updates, opt_g = tx_g.update(g_grads, state.opt_g, g_params)
         g_new = optax.apply_updates(g_params, g_updates)
 
         new_state = VQGANState(params={**g_new, "vq": new_vq}, opt_g=opt_g,
                                disc_vars=disc_vars, opt_d=opt_d,
                                step=state.step + 1)
-        aux = {k: v for k, v in losses.items()}
-        aux["total"] = total
         aux["d_loss"] = d_loss
         return new_state, aux, idx
 
+    if mesh is not None:
+        return _mesh_wrap(step_fn, mesh, axis_name, donate)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 

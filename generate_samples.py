@@ -128,7 +128,9 @@ def generate_samples(config):
     keep_gray = int(ldcfg(config, "in_channels", 3)) == 1
 
     model, params = b["model"], b["params"]
-    apply_fn = lambda x, t, c: model.apply(params["model"], x, t, c)
+    # stable params-as-argument apply → sampler's fused generate+decode
+    # executable compiles once and is reused across batches
+    apply_p = lambda p, x, t, c: model.apply(p, x, t, c)
     key = jax.random.PRNGKey(int(config.get("seed", 0)))
 
     # +class_cond=N samples a single class; default is the 10-column class
@@ -146,10 +148,11 @@ def generate_samples(config):
             cond = {"class_cond": jnp.full((bs,), int(fixed_class),
                                            jnp.int32), "mask_cond": None}
         latents, decoded, nfe = sampler(
-            apply_fn, b["codec"], b["codec_params"], k, method=method,
+            apply_p, b["codec"], b["codec_params"], k, method=method,
             batch_size=bs, n_steps=n_steps, cond=cond,
             n_classes=b["n_classes"], latent_shape=b["latent_shape"],
-            cfg_strength=cfg_strength, is_midi=is_midi, keep_gray=keep_gray)
+            cfg_strength=cfg_strength, is_midi=is_midi, keep_gray=keep_gray,
+            params=params["model"])
         decoded = np.asarray(decoded)
         dt = time.time() - t0
         print(f"batch {batch_idx}: {bs} samples, nfe={int(nfe)}, "

@@ -32,7 +32,9 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
     import jax.numpy as jnp
     from flocoder_tpu.config import ldcfg
     from flocoder_tpu.data.datasets import (ImageFolderDataset,
-                                            SyntheticImageDataset, Loader)
+                                            InfiniteDataset,
+                                            SyntheticImageDataset, Loader,
+                                            dataset_by_name)
     from flocoder_tpu.data.transforms import image_transforms, midi_transforms
     from flocoder_tpu.inpainting import generate_mask_batch
     from flocoder_tpu.parallel.mesh import shard_batch
@@ -66,7 +68,10 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
     else:
         tf = (midi_transforms(image_size) if is_midi
               else image_transforms(image_size))
-    if os.path.isdir(data_path):
+    named = dataset_by_name(data_path, split, tf)
+    if named is not None:
+        dataset = named  # torchvision dispatch (reference: :45-53)
+    elif os.path.isdir(data_path):
         dataset = ImageFolderDataset(data_path, transform=tf)
     else:
         print(f"WARNING: {data_path} not found; using synthetic dataset")
@@ -96,17 +101,24 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
             return dataset.get(int(ids[i]), rng)
 
     batch_size = max(1, min(batch_size, len(ids)))  # small splits still batch
-    loader = Loader(_Subset(), batch_size, shuffle=True,
-                    num_workers=num_workers, seed=seed, key="pixels")
+    # InfiniteDataset view: every pass redraws items with replacement so each
+    # of the augs_per passes re-randomizes the frozen augmentations
+    # (reference: preencode_data.py:59, data.py:287-307)
+    loader = Loader(InfiniteDataset(_Subset(), length=len(ids)), batch_size,
+                    shuffle=True, num_workers=num_workers, seed=seed,
+                    key="pixels")
 
     encode = jax.jit(lambda x: codec.encode(codec_params, x))
     quant = (jax.jit(lambda z: codec.quantize(codec_params, z)[0])
              if quantize and hasattr(codec, "quantize") else None)
     if (quantize and hasattr(codec, "encode_quantize_fused")
-            and bool(config.preencoding.get("fused_vq", True))):
-        # encode+quantize with the compression tail + RVQ search fused in one
-        # Pallas kernel (no HBM round-trip; preencoding.fused_vq=false opts
-        # out). Replaces the separate encode→quantize dispatches below.
+            and bool(config.preencoding.get("fused_vq", False))):
+        # encode+quantize with the compression tail + RVQ search fused in
+        # one Pallas kernel. Default OFF: hardware timing shows throughput
+        # parity with the XLA path (the encoder body dominates — BENCH_r02,
+        # docs/ROADMAP.md), so the kernel's value is fp32-exact quantization
+        # (zero bf16-conv drift in the picks); opt in with
+        # preencoding.fused_vq=true when that exactness matters.
         fused = jax.jit(lambda x: codec.encode_quantize_fused(codec_params,
                                                               x)[0])
         encode, quant = fused, None
@@ -157,7 +169,10 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
         except StopIteration:
             batch_iter = iter(loader)
             batch = next(batch_iter)
-        pixels = jnp.asarray(batch["pixels"])
+        # device placement sharded over the mesh's data axes: on a pod slice
+        # each chip encodes its own sub-batch (the embarrassingly-parallel
+        # stage, SURVEY §3.2); degenerate single-device put on one chip
+        pixels = shard_batch(mesh, np.asarray(batch["pixels"]))
         labels = np.asarray(batch["class_cond"])
         if augment is not None:
             pixels = augment(pixels, jax.random.fold_in(aug_key, b))
@@ -165,6 +180,7 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
             masks = generate_mask_batch(pixels.shape[1:3],
                                         batch_size=pixels.shape[0],
                                         seed=seed * 100003 + b)
+            # device-side blend inherits pixels' sharding
             masked = pixels * (1 - jnp.asarray(masks))
             target = encode(pixels)
             source = encode(masked)

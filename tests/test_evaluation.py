@@ -67,3 +67,51 @@ def test_make_e2e_sampler_jitted():
     assert img.shape == (6, 8, 8, 3)
     # fixed point pull: mean should move toward 0.5
     assert abs(float(lat.mean()) - 0.5) < 0.5
+
+
+def test_sampler_fused_params_path_matches_legacy():
+    """sampler(params=...) routes through the cached fused executable and
+    must produce the same latents/images as the legacy per-piece path (same
+    rng), and reuse the compiled fn across calls."""
+    from flocoder_tpu import evaluation as ev
+    codec = NoOpAE()
+    apply_p = lambda p, x, t, c: p["a"] - x
+
+    def legacy_apply(x, t, c):
+        return 0.25 - x
+
+    params = {"a": jnp.asarray(0.25)}
+    key = jax.random.PRNGKey(3)
+    lat1, dec1, nfe1 = sampler(legacy_apply, codec, {}, key, batch_size=6,
+                               n_steps=4, latent_shape=(4, 4, 3),
+                               cfg_strength=0.0, n_classes=0)
+    before = len(ev._fused_cache)
+    lat2, dec2, nfe2 = sampler(apply_p, codec, {}, key, batch_size=6,
+                               n_steps=4, latent_shape=(4, 4, 3),
+                               cfg_strength=0.0, n_classes=0, params=params)
+    after = len(ev._fused_cache)
+    assert after == before + 1
+    np.testing.assert_allclose(np.asarray(lat1), np.asarray(lat2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dec1), np.asarray(dec2),
+                               rtol=1e-5, atol=1e-6)
+    assert nfe1 == nfe2 == 12
+    # second call with the same config hits the cache (no new entry)
+    sampler(apply_p, codec, {}, jax.random.PRNGKey(4), batch_size=6,
+            n_steps=4, latent_shape=(4, 4, 3), cfg_strength=0.0,
+            n_classes=0, params=params)
+    assert len(ev._fused_cache) == after
+
+
+def test_evaluate_model_fused_params(tmp_path):
+    codec = NoOpAE()
+    apply_p = lambda p, x, t, c: p["a"] - x
+    target = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 3)) * 0.1 + 0.5
+    metrics = evaluate_model(apply_p, codec, {}, epoch=1,
+                             target_latents=target,
+                             rng=jax.random.PRNGKey(2), batch_size=8,
+                             n_steps=4, method="rk4", cfg_strength=0.0,
+                             use_wandb=False, output_dir=str(tmp_path),
+                             params={"a": jnp.asarray(0.5)})
+    for key in ("FID_px", "sinkhorn", "mse"):
+        assert key in metrics and np.isfinite(metrics[key])

@@ -143,3 +143,83 @@ def test_multistep_sharded_mesh():
     state, aux = step(state, super_batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(aux["loss"]))
     assert int(state.step) == K
+
+
+def test_otf_aug_p_zeros_forces_identity():
+    """otf_aug with p_zeros=1 sets mask:=0 and source:=target for the whole
+    batch (reference train_flow.py:150-153): with a zero model and no OT the
+    velocity target collapses to 0 so loss_flow == 0 exactly."""
+    def apply_fn(params, x, t, cond):
+        return jnp.einsum("bhwc,cd->bhwd", x, params["w"])
+    params = {"model": {"w": jnp.zeros((2, 2))},
+              "mask_encoder": {}}
+    tx = make_flow_optimizer(1e-2, mask_encoder=True)
+    me = lambda p, m: m  # identity mask encoder
+    step = make_flow_train_step(
+        apply_fn, tx, mask_encoder_apply=me, use_ot=False, donate=False,
+        cfg_dropout=0.0, mask_identity_weight=0.0,
+        otf_aug={"curriculum_epochs": 0, "extend_epochs": 0,
+                 "p_ones": 0.0, "p_zeros": 1.0, "steps_per_epoch": 1})
+    B = 8
+    rng = np.random.default_rng(0)
+    batch = {"target": jnp.asarray(rng.standard_normal((B, 4, 4, 2)),
+                                   jnp.float32),
+             "source": jnp.asarray(rng.standard_normal((B, 4, 4, 2)),
+                                   jnp.float32),
+             "mask_pixels": jnp.ones((B, 4, 4, 1), jnp.float32)}
+    state = create_flow_state(params, tx)
+    _, aux = step(state, batch, jax.random.PRNGKey(0))
+    assert float(aux["loss_flow"]) == 0.0
+
+
+def test_otf_aug_p_ones_uses_blank_latents():
+    """p_ones=1 replaces source with the encoded blank image and the mask
+    with all-ones (unconditional generation, reference train_flow.py:145-149)
+    — observable because a zero mask-encoder leaves source = blank."""
+    def apply_fn(params, x, t, cond):
+        return jnp.einsum("bhwc,cd->bhwd", x, params["w"])
+    params = {"model": {"w": jnp.zeros((2, 2))}, "mask_encoder": {}}
+    tx = make_flow_optimizer(1e-2, mask_encoder=True)
+    me = lambda p, m: jnp.zeros_like(m)  # mask encoder output 0 → no blend
+    blank = jnp.full((1, 4, 4, 2), 5.0)
+    step = make_flow_train_step(
+        apply_fn, tx, mask_encoder_apply=me, use_ot=False, donate=False,
+        cfg_dropout=0.0, mask_identity_weight=0.0, blank_latents=blank,
+        otf_aug={"curriculum_epochs": 0, "extend_epochs": 0,
+                 "p_ones": 1.0, "p_zeros": 0.0, "steps_per_epoch": 1})
+    B = 8
+    target = jnp.zeros((B, 4, 4, 2))
+    batch = {"target": target,
+             "source": jnp.zeros((B, 4, 4, 2)),
+             "mask_pixels": jnp.zeros((B, 4, 4, 1), jnp.float32)}
+    state = create_flow_state(params, tx)
+    _, aux = step(state, batch, jax.random.PRNGKey(0))
+    # v* = target - source = 0 - 5 → loss_flow = mean(25) with zero model
+    np.testing.assert_allclose(float(aux["loss_flow"]), 25.0, rtol=1e-5)
+
+
+def test_otf_aug_curriculum_ramps_on_device():
+    """During curriculum epochs p_ones ramps down with the traced step
+    counter — epoch 1 of curriculum_epochs=2 gives p_ones=1 (all blank),
+    epoch 3 (past extend) gives the final p_ones=0 (batch untouched)."""
+    def apply_fn(params, x, t, cond):
+        return jnp.einsum("bhwc,cd->bhwd", x, params["w"])
+    params = {"model": {"w": jnp.zeros((2, 2))}, "mask_encoder": {}}
+    tx = make_flow_optimizer(1e-2, mask_encoder=True)
+    me = lambda p, m: jnp.zeros_like(m)
+    blank = jnp.full((1, 4, 4, 2), 5.0)
+    step = make_flow_train_step(
+        apply_fn, tx, mask_encoder_apply=me, use_ot=False, donate=False,
+        cfg_dropout=0.0, mask_identity_weight=0.0, blank_latents=blank,
+        otf_aug={"curriculum_epochs": 2, "extend_epochs": 2,
+                 "p_ones": 0.0, "p_zeros": 0.0, "steps_per_epoch": 1})
+    B = 8
+    batch = {"target": jnp.zeros((B, 4, 4, 2)),
+             "source": jnp.zeros((B, 4, 4, 2)),
+             "mask_pixels": jnp.zeros((B, 4, 4, 1), jnp.float32)}
+    state = create_flow_state(params, tx)  # step 0 → epoch 1: p_ones = 1
+    state, aux1 = step(state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(aux1["loss_flow"]), 25.0, rtol=1e-5)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))  # epoch 2
+    state, aux3 = step(state, batch, jax.random.PRNGKey(2))  # epoch 3: off
+    assert float(aux3["loss_flow"]) == 0.0

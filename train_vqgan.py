@@ -103,12 +103,20 @@ def train_vqgan(config):
     if float(cc.get("lambda_perc", 0)) > 0 and in_channels == 3:
         perceptual_fn = make_perceptual_fn(image_size)
 
-    warmup_step = make_vqgan_warmup_step(codec, tx_g, config, perceptual_fn)
+    # multi-chip: build the steps under shard_map over the mesh — batch
+    # sharded over the data axes, grads pmean'd over ICI, RVQ codebook EMA
+    # stats psum'd (SURVEY §2d); a 1-device mesh keeps the plain-jit build
+    step_mesh = mesh if mesh.size > 1 else None
+    if step_mesh is not None:
+        print(f"multi-chip codec training: shard_map over {mesh.shape}")
+    warmup_step = make_vqgan_warmup_step(codec, tx_g, config, perceptual_fn,
+                                         mesh=step_mesh)
     gan_step = make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train,
                                    disc_apply_eval, tx_d, config,
                                    perceptual_fn,
                                    lecam_weight=float(
-                                       ldcfg(config, "lecam_weight", 0.0)))
+                                       ldcfg(config, "lecam_weight", 0.0)),
+                                   mesh=step_mesh)
     eval_step = make_vqgan_eval_step(codec, config, perceptual_fn)
 
     use_wandb = not no_wandb
