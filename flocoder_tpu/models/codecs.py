@@ -243,9 +243,16 @@ def _rope_1d(x: jax.Array, max_log: float = math.log(10000.0)) -> jax.Array:
 class SpatialNonLocalAttention(nn.Module):
     """Full attention over flattened H·W tokens with 1-D RoPE on q/k
     (reference: codecs.py:336-382); zero-init output projection so the block
-    starts as identity; residual."""
+    starts as identity; residual.
+
+    ``ring_axis``/``ring_axis_size`` (>1): sequence-parallel form — token
+    chunks across the mesh axis with a ppermute K/V ring
+    (parallel.ring_attention), for resolutions beyond one chip's HBM;
+    requires tracing inside a shard_map binding that axis."""
     reduction_factor: int = 2
     dtype: Any = jnp.float32
+    ring_axis: Any = None
+    ring_axis_size: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -258,10 +265,18 @@ class SpatialNonLocalAttention(nn.Module):
         q = _rope_1d(q.reshape(b, h * w, rd))
         k = _rope_1d(k.reshape(b, h * w, rd))
         v = v.reshape(b, h * w, c)
-        logits = jnp.einsum("bnc,bmc->bnm", q, k,
-                            preferred_element_type=jnp.float32) * (q.shape[-1] ** -0.5)
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bnm,bmc->bnc", attn, v).reshape(b, h, w, c)
+        if self.ring_axis is not None and self.ring_axis_size > 1:
+            from ..parallel.ring_attention import ring_attention_replicated
+            out = ring_attention_replicated(
+                q[:, :, None, :], k[:, :, None, :], v[:, :, None, :],
+                self.ring_axis, self.ring_axis_size)[:, :, 0, :]
+            out = out.reshape(b, h, w, c).astype(self.dtype)
+        else:
+            logits = jnp.einsum("bnc,bmc->bnm", q, k,
+                                preferred_element_type=jnp.float32
+                                ) * (q.shape[-1] ** -0.5)
+            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bnm,bmc->bnc", attn, v).reshape(b, h, w, c)
         out = nn.Conv(c, (1, 1), kernel_init=nn.initializers.zeros,
                       dtype=self.dtype)(out)
         return x + out
@@ -329,6 +344,8 @@ class VQVAEDecoder(nn.Module):
     decoder_nonlocal: bool = True
     use_attention: bool = True
     dtype: Any = jnp.float32
+    ring_axis: Any = None
+    ring_axis_size: int = 1
 
     @nn.compact
     def __call__(self, z, deterministic: bool = True,
@@ -337,7 +354,9 @@ class VQVAEDecoder(nn.Module):
 
         h = z
         if self.decoder_nonlocal:
-            h = SpatialNonLocalAttention(dtype=self.dtype)(h)
+            h = SpatialNonLocalAttention(
+                dtype=self.dtype, ring_axis=self.ring_axis,
+                ring_axis_size=self.ring_axis_size)(h)
         cur = self.hidden_channels * (2 ** (self.num_downsamples - 1))
         h = nn.Conv(self.internal_dim, (1, 1), dtype=self.dtype)(h)
         h = nn.GroupNorm(num_groups=gn_groups(self.vq_embedding_dim,
@@ -384,7 +403,7 @@ class VQVAE:
                  vq_num_embeddings=512, internal_dim=256, codebook_levels=3,
                  vq_embedding_dim=4, commitment_weight=0.25,
                  use_attention=True, decoder_nonlocal=True,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, ring_axis=None, ring_axis_size=1):
         self.in_channels = in_channels
         self.num_downsamples = num_downsamples
         self.codebook_levels = codebook_levels
@@ -400,7 +419,7 @@ class VQVAE:
             num_downsamples=num_downsamples, internal_dim=internal_dim,
             vq_embedding_dim=vq_embedding_dim,
             decoder_nonlocal=decoder_nonlocal, use_attention=use_attention,
-            dtype=dtype)
+            dtype=dtype, ring_axis=ring_axis, ring_axis_size=ring_axis_size)
 
     def init(self, rng, sample) -> dict:
         k_enc, k_dec, k_vq, k_noise = jax.random.split(rng, 4)
@@ -497,11 +516,17 @@ class VQVAE:
 # Factory
 # --------------------------------------------------------------------------
 
-def setup_codec(config, load_checkpoint: bool = True):
+def setup_codec(config, load_checkpoint: bool = True,
+                ring_axis_size: int = 1):
     """Build a codec from ``config.codec.choice`` ∈ {noop, resize, sd,
     vqgan, vqgan_plus} (reference: codecs.py:668-741). Returns the codec
     object; parameter loading is the caller's concern via
-    training.checkpoint (kept separate so jit boundaries stay clean)."""
+    training.checkpoint (kept separate so jit boundaries stay clean).
+
+    ``ring_axis_size`` > 1 with ``codec.ring_attention=true`` builds the
+    VQVAE with sequence-parallel non-local attention over the mesh 'model'
+    axis (see SpatialNonLocalAttention.ring_axis — callers must then run
+    the codec under a shard_map binding that axis)."""
     from ..config import ldcfg
     choice = config.codec.choice if "codec" in config else "noop"
     image_size = ldcfg(config, "image_size", 128)
@@ -532,5 +557,7 @@ def setup_codec(config, load_checkpoint: bool = True):
         if choice == "vqgan_plus":
             from .vqgan_plus import VQGANPlus
             return VQGANPlus(**kw)
+        if bool(ldcfg(config, "ring_attention", False)) and ring_axis_size > 1:
+            kw.update(ring_axis="model", ring_axis_size=ring_axis_size)
         return VQVAE(**kw)
     raise ValueError(f"Unknown codec choice: {choice}")

@@ -77,10 +77,20 @@ class ResnetBlock(nn.Module):
 
 class Attention(nn.Module):
     """Full softmax attention over spatial tokens, bottleneck only
-    (reference: unet.py:99-122)."""
+    (reference: unet.py:99-122).
+
+    ``ring_axis``/``ring_axis_size``: sequence-parallel extension point
+    (SURVEY §5.7) — when set (>1) and the module is traced inside a
+    shard_map binding that mesh axis, the token axis is chunked across the
+    axis and attention runs as a ppermute K/V ring
+    (parallel.ring_attention.ring_attention_replicated, replicated-in/
+    replicated-out incl. grads). Only matters beyond the reference's
+    resolutions; off in every recipe by default."""
     heads: int = 4
     dim_head: int = 32
     dtype: Any = jnp.float32
+    ring_axis: Any = None
+    ring_axis_size: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -89,6 +99,12 @@ class Attention(nn.Module):
         qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, dtype=self.dtype)(x)
         qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, heads, d)
+        if self.ring_axis is not None and self.ring_axis_size > 1:
+            from ..parallel.ring_attention import ring_attention_replicated
+            out = ring_attention_replicated(q, k, v, self.ring_axis,
+                                            self.ring_axis_size)
+            out = out.reshape(b, h, w, hidden).astype(self.dtype)
+            return nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype)(out)
         q = q * (self.dim_head ** -0.5)
         sim = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                          preferred_element_type=jnp.float32)
@@ -196,6 +212,10 @@ class Unet(nn.Module):
     mask_channels: int = 1
     use_checkpoint: bool = False
     dtype: Any = jnp.float32
+    # sequence-parallel bottleneck attention (see Attention.ring_axis);
+    # requires tracing inside a shard_map that binds this mesh axis
+    ring_axis: Any = None
+    ring_axis_size: int = 1
 
     @nn.compact
     def __call__(self, x, time, cond: Optional[dict] = None, train: bool = False):
@@ -275,7 +295,9 @@ class Unet(nn.Module):
 
         mid = dims[-1]
         x = ResnetBlock(mid, groups, dtype)(x, t)
-        x = PreNormResidual(Attention(dtype=dtype), dtype=dtype)(x)
+        x = PreNormResidual(Attention(dtype=dtype, ring_axis=self.ring_axis,
+                                      ring_axis_size=self.ring_axis_size),
+                            dtype=dtype)(x)
         x = ResnetBlock(mid, groups, dtype)(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):

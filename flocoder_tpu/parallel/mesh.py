@@ -31,7 +31,7 @@ __all__ = [
     "make_mesh", "data_sharding", "replicated", "shard_batch",
     "host_device_count", "maybe_init_distributed", "P", "Mesh",
     "DATA_AXIS", "MODEL_AXIS", "DCN_AXIS", "batch_axis_names",
-    "fsdp_param_shardings", "shard_state",
+    "fsdp_param_shardings", "shard_state", "pmean_typed",
 ]
 
 DATA_AXIS = "data"
@@ -112,6 +112,24 @@ def shard_batch(mesh: Mesh, batch, axis: int = 0):
 
 def host_device_count() -> int:
     return jax.local_device_count()
+
+
+def pmean_typed(tree, names):
+    """pmean each leaf over whichever of ``names`` it is actually VARYING
+    over (jax vma typing). Inside shard_map, pmean/psum are
+    variant→invariant collectives: reducing an axis a leaf is invariant
+    over is a type error, and returning a varying value through a
+    replicated out_spec breaks the transpose. Leaves untouched by any named
+    axis pass through. Used by the train steps so sequence-parallel
+    (ring-attention) models — whose grads are varying over 'model' —
+    compose with the same step code as plain models."""
+    names = (names,) if isinstance(names, str) else tuple(names)
+
+    def f(x):
+        ax = tuple(n for n in names if n in getattr(jax.typeof(x), "vma", ()))
+        return jax.lax.pmean(x, ax) if ax else x
+
+    return jax.tree_util.tree_map(f, tree)
 
 
 def fsdp_param_shardings(mesh: Mesh, tree, axis: str = DATA_AXIS,

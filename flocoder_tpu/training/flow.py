@@ -276,9 +276,17 @@ def make_flow_train_step(model_apply: Callable, tx,
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         if axis_name is not None:
             # the one collective of the step: grad (+scalar-metric) reduction
-            # over ICI; the optimizer/EMA update then runs replicated
-            grads = jax.lax.pmean(grads, axis_name)
-            aux = jax.lax.pmean(aux, axis_name)
+            # over ICI; the optimizer/EMA update then runs replicated.
+            # vma-typed reduction: ring/sequence-parallel models leave grads
+            # varying over 'model' too (value-identical — the pmean is a
+            # typing no-op there), plain models only over the batch axes.
+            from ..parallel.mesh import pmean_typed
+            names = ((axis_name,) if isinstance(axis_name, str)
+                     else tuple(axis_name))
+            if mesh is not None:
+                names += tuple(a for a in mesh.axis_names if a not in names)
+            grads = pmean_typed(grads, names)
+            aux = pmean_typed(aux, names)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = ema_update(state.ema, params, ema_decay)

@@ -7,6 +7,7 @@ Asserts: the scripts build a >1-device mesh, state comes back placed on all
 devices, losses/params stay finite, and pre-encode writes sharded-encoded
 latents.
 """
+import importlib.util
 import os
 import sys
 
@@ -14,9 +15,26 @@ import jax
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 from flocoder_tpu.config import config_from_dict, load_config
+
+
+def _load_script(name: str):
+    """Import a top-level script by explicit file path. A plain
+    ``import train_flow`` is hijacked once the parity tests put
+    /root/reference at sys.path[0] (the reference repo has the same
+    script names)."""
+    mod = sys.modules.get(f"fc_script_{name}")
+    if mod is not None:
+        return mod
+    spec = importlib.util.spec_from_file_location(
+        f"fc_script_{name}", os.path.join(ROOT, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[f"fc_script_{name}"] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 pytestmark = pytest.mark.skipif(jax.device_count() < 2,
                                 reason="needs the virtual multi-device mesh")
@@ -35,7 +53,7 @@ def _write_toy_latents(root, H=8, W=8, C=2, n_classes=4, n_per=12):
 
 
 def test_train_flow_script_on_mesh(tmp_path):
-    import train_flow as script
+    script = _load_script("train_flow")
 
     data = str(tmp_path / "toy")
     _write_toy_latents(f"{data}_encoded_resize")
@@ -60,7 +78,7 @@ def test_train_flow_script_partial_dispatch_window(tmp_path):
     """steps_per_dispatch larger than the epoch's batch count must still run
     optimizer steps via the single-step remainder path (ADVICE r2 medium:
     the old code silently dropped the window and reported NaN loss)."""
-    import train_flow as script
+    script = _load_script("train_flow")
 
     data = str(tmp_path / "toy")
     _write_toy_latents(f"{data}_encoded_resize", n_per=4)  # 16 train latents
@@ -79,7 +97,7 @@ def test_train_flow_script_partial_dispatch_window(tmp_path):
 
 
 def test_train_vqgan_script_on_mesh(tmp_path, monkeypatch):
-    import train_vqgan as script
+    script = _load_script("train_vqgan")
 
     monkeypatch.chdir(tmp_path)  # checkpoints/ + output dirs land here
     cfg = load_config("smoke_vqgan",
@@ -101,7 +119,7 @@ def test_train_vqgan_script_on_mesh(tmp_path, monkeypatch):
 
 
 def test_preencode_script_on_mesh(tmp_path, monkeypatch):
-    import preencode_data as script
+    script = _load_script("preencode_data")
     from flocoder_tpu.models.codecs import setup_codec
     from flocoder_tpu.parallel.mesh import make_mesh
 

@@ -78,3 +78,121 @@ def test_ring_local_single_device_degenerate():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(full_attention(q, k, v)),
                                atol=1e-5, rtol=1e-5)
+
+
+def _plain_attention(q, k, v, scale=None):
+    d = q.shape[-1]
+    scale = scale or d ** -0.5
+    sim = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+    attn = jax.nn.softmax(sim, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+
+
+def test_ring_attention_replicated_fwd_and_grads():
+    """ring_attention_replicated on REPLICATED q/k/v inside shard_map:
+    forward and input grads must match plain attention, so surrounding
+    params keep identical (replicated) gradients — the property that lets
+    the existing train steps use ring models unchanged."""
+    from jax.experimental.shard_map import shard_map
+    from flocoder_tpu.parallel.mesh import make_mesh, P
+    from flocoder_tpu.parallel.ring_attention import ring_attention_replicated
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh = make_mesh(n_data=2, n_model=4)
+    B, N, H, D = 2, 16, 2, 8
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+               for _ in range(3))
+
+    from flocoder_tpu.parallel.mesh import pmean_typed
+
+    def body(q, k, v):
+        # gradients taken INSIDE the shard_map — production usage (the
+        # train steps value_and_grad the loss in the shard_map body)
+        def local_loss(q_, k_, v_):
+            out = ring_attention_replicated(q_, k_, v_, "model", 4, None)
+            return jnp.sum(out ** 2), out
+
+        (loss, out), grads = jax.value_and_grad(
+            local_loss, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+        names = ("model", "data")
+        return (pmean_typed(loss, names), pmean_typed(out, names),
+                pmean_typed(grads, names))
+
+    f = shard_map(body, mesh=mesh, in_specs=(P(), P(), P()),
+                  out_specs=(P(), P(), (P(), P(), P())), check_rep=False)
+    _, out_ring, g_ring = f(q, k, v)
+    out_plain = _plain_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_plain),
+                               rtol=2e-4, atol=2e-5)
+    g_plain = jax.grad(
+        lambda q_, k_, v_: jnp.sum(_plain_attention(q_, k_, v_) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for gr, gp in zip(g_ring, g_plain):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gp),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_unet_ring_bottleneck_matches_plain():
+    """Unet(ring_axis='model') under a ('data','model') shard_map produces
+    the same output as the ring-free twin on the same params (VERDICT r2
+    stretch #10: ring attention wired into the U-Net bottleneck)."""
+    from jax.experimental.shard_map import shard_map
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.parallel.mesh import make_mesh, P
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=2, n_model=4)
+    kw = dict(dim=8, dim_mults=(1, 2), channels=2, resnet_block_groups=2)
+    plain = Unet(**kw)
+    ring = Unet(ring_axis="model", ring_axis_size=4, **kw)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((4, 8, 8, 2)),
+                    jnp.float32)
+    t = jnp.linspace(0.0, 999.0, 4)
+    params = plain.init(jax.random.PRNGKey(0), x, t, None)
+
+    f = shard_map(lambda p, x_, t_: jax.lax.pmean(
+                      ring.apply(p, x_, t_, None), "model"), mesh=mesh,
+                  in_specs=(P(), P("data"), P("data")),
+                  out_specs=P("data"), check_rep=False)
+    out_ring = f(params, x, t)
+    out_plain = plain.apply(params, x, t, None)
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_plain),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_flow_train_step_with_ring_model():
+    """The production shard_map flow step accepts a ring-enabled model with
+    no step changes (replicated grads by construction) and matches the
+    plain model's loss."""
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.parallel.mesh import make_mesh, shard_batch
+    from flocoder_tpu.training.flow import (create_flow_state,
+                                            make_flow_optimizer,
+                                            make_flow_train_step)
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=2, n_model=4)
+    kw = dict(dim=8, dim_mults=(1, 2), channels=2, resnet_block_groups=2)
+    plain = Unet(**kw)
+    ring = Unet(ring_axis="model", ring_axis_size=4, **kw)
+    x0 = jnp.zeros((2, 8, 8, 2))
+    params = {"model": plain.init(jax.random.PRNGKey(0), x0,
+                                  jnp.zeros((2,)), None)}
+    tx = make_flow_optimizer(1e-3)
+    batch = shard_batch(mesh, {"target": np.random.default_rng(0)
+                               .standard_normal((8, 8, 8, 2))
+                               .astype(np.float32)})
+    losses = []
+    for m in (plain, ring):
+        step = make_flow_train_step(
+            lambda p, x, t, c, m_=m: m_.apply(p, x, t, c), tx,
+            donate=False, mesh=mesh)
+        state = create_flow_state(params, tx)
+        _, aux = step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(aux["loss"]))
+        assert np.isfinite(losses[-1])
+    assert abs(losses[0] - losses[1]) < 1e-3, losses

@@ -44,7 +44,9 @@ def train_flow(config):
     from flocoder_tpu.utils.codebook_analysis import CodebookUsageTracker
 
     maybe_init_distributed()
-    mesh = make_mesh()
+    # flow.n_model > 1 adds a model axis (used by ring/sequence-parallel
+    # attention, flow.ring_attention=true)
+    mesh = make_mesh(n_model=int(ldcfg(config, "n_model", 1)))
     print(f"train_flow: mesh = {mesh}, backend = {jax.default_backend()}")
 
     # ---- config -----------------------------------------------------------
@@ -125,8 +127,19 @@ def train_flow(config):
     # bfloat16 compute (fp32 params/outputs) is the TPU-native precision;
     # enable with flow.bf16=true (off by default for CPU-dev parity)
     dtype = jnp.bfloat16 if bool(ldcfg(config, "bf16", False)) else jnp.float32
-    model = Unet(dim=H, channels=C, dim_mults=dim_mults, n_classes=n_classes,
-                 mask_cond=inpainting, mask_channels=C, dtype=dtype)
+    # sequence-parallel bottleneck attention over the mesh 'model' axis
+    # (flow.ring_attention + flow.n_model>1); params are identical with or
+    # without the flag, so the eval/sampling paths use a ring-free twin
+    n_model = int(dict(mesh.shape).get("model", 1))
+    use_ring = bool(ldcfg(config, "ring_attention", False)) and n_model > 1
+    model_kwargs = dict(dim=H, channels=C, dim_mults=dim_mults,
+                        n_classes=n_classes, mask_cond=inpainting,
+                        mask_channels=C, dtype=dtype)
+    model = Unet(**model_kwargs)  # eval / init / sampling twin (no ring)
+    train_model = (Unet(ring_axis="model", ring_axis_size=n_model,
+                        **model_kwargs) if use_ring else model)
+    if use_ring:
+        print(f"ring attention over 'model' axis (size {n_model})")
     rng, k_model = jax.random.split(rng)
     cond0 = {"class_cond": jnp.zeros((2,), jnp.int32),
              "mask_cond": (jnp.zeros((2, H, W, C)) if inpainting else None)}
@@ -181,6 +194,8 @@ def train_flow(config):
         print(f"resumed from {resume} at epoch {ck['epoch']}")
 
     model_apply = lambda p, x, t, c: model.apply(p, x, t, c)
+    train_model_apply = (model_apply if train_model is model else
+                         (lambda p, x, t, c: train_model.apply(p, x, t, c)))
     # steps_per_dispatch > 1: scan K optimizer steps inside ONE jitted call
     # (amortizes host dispatch overhead — docs/BENCH_NOTES.md tpu_demo notes)
     steps_per_call = max(int(ldcfg(config, "steps_per_dispatch", 1)), 1)
@@ -218,13 +233,13 @@ def train_flow(config):
         ot_method=str(ldcfg(config, "ot_method", "parallel")),
         blank_latents=blank_latents, otf_aug=otf_aug,
         mesh=step_mesh)
-    train_step = make_flow_train_step(model_apply, tx,
+    train_step = make_flow_train_step(train_model_apply, tx,
                                       steps_per_call=steps_per_call,
                                       **step_kwargs)
     # single-step variant for the trailing partial dispatch window (a scan
     # over K steps cannot take fewer batches without retracing)
     train_step_single = (train_step if steps_per_call == 1 else
-                         make_flow_train_step(model_apply, tx,
+                         make_flow_train_step(train_model_apply, tx,
                                               steps_per_call=1,
                                               **step_kwargs))
     if use_fsdp:
