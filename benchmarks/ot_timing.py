@@ -13,9 +13,13 @@ sacrificial first rep (docs/BENCH_NOTES.md axon timing trap).
 """
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed_scan(body, K=8, reps=3):
