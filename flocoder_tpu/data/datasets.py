@@ -78,6 +78,19 @@ class ImageFolderDataset:
 
     def get(self, i: int, rng: np.random.Generator):
         f = self.files[i]
+        if self.transform is not None and \
+                getattr(self.transform, "wants_path", False):
+            # path-based transforms (data/native_image.NativeLoadResized) do
+            # the decode themselves in C++ — skip the PIL open entirely
+            label = self.class_map[self._top(f)]
+            try:
+                return self.transform(f, rng), np.int32(label)
+            except Exception as e:
+                print(f"ImageFolderDataset: failed to load {f} ({e}); "
+                      "redrawing")
+                j = int(rng.integers(0, len(self.files)))
+                return self.get(j if j != i else (i + 1) % len(self.files),
+                                rng)
         try:
             if self._cache is not None and f in self._cache:
                 img = self._cache[f]

@@ -109,6 +109,31 @@ class ShardWriter:
             self._f.write(arr.tobytes())
         self._labels.append(int(label))
 
+    def add_batch(self, records: np.ndarray, labels=None,
+                  extras: Optional[dict] = None) -> int:
+        """Append a whole batch in one write — the interleaved
+        ``[main | extras...]`` record layout is assembled vectorized, so the
+        per-record Python loop (the pre-encode host bottleneck on a 1-core
+        box, docs/ROADMAP.md) collapses into one concatenate + one write.
+        Returns bytes written."""
+        recs = np.asarray(records, dtype=np.float32)
+        B = recs.shape[0]
+        assert recs.shape[1:] == self.shape, (recs.shape, self.shape)
+        if self.extra_fields:
+            parts = [recs.reshape(B, -1)]
+            for name, shp in self.extra_fields.items():
+                arr = np.asarray(extras[name], dtype=np.float32)
+                assert arr.shape == (B,) + shp, (name, arr.shape, shp)
+                parts.append(arr.reshape(B, -1))
+            payload = np.concatenate(parts, axis=1)
+        else:
+            payload = np.ascontiguousarray(recs.reshape(B, -1))
+        self._f.write(payload.tobytes())
+        if labels is None:
+            labels = np.zeros((B,), np.int32)
+        self._labels.extend(np.asarray(labels, np.int64).tolist())
+        return B * self._record_bytes
+
     def close(self) -> str:
         self._f.close()
         n = len(self._labels)

@@ -61,8 +61,16 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
         from flocoder_tpu.data.device_augs import (default_src_size,
                                                    load_resized,
                                                    make_device_augment)
+        from flocoder_tpu.data.native_image import NativeLoadResized
+        from flocoder_tpu.data.native_image import available as \
+            native_image_available
         src_size = default_src_size(image_size)
-        tf = lambda img, rng: load_resized(img, src_size)
+        if native_image_available():
+            # C++ decode+resize (native/fcimage.cpp) — removes the per-image
+            # PIL cost from the host half of the pipeline
+            tf = NativeLoadResized(src_size)
+        else:
+            tf = lambda img, rng: load_resized(img, src_size)
         augment = make_device_augment(image_size)
         aug_key = jax.random.PRNGKey(seed + 7919)
     else:
@@ -187,34 +195,34 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
             if quant is not None:
                 target, source = quant(target), quant(source)
             target, source = np.asarray(target), np.asarray(source)
-            for i in range(target.shape[0]):
-                if shard is not None:
-                    shard.add(target[i], int(labels[i]),
-                              {"source_latents": source[i],
-                               "mask_pixels": masks[i]})
-                    with lock:
-                        bytes_written += shard._record_bytes
-                else:
+            if shard is not None:
+                with lock:
+                    bytes_written += shard.add_batch(
+                        target, labels, {"source_latents": source,
+                                         "mask_pixels": masks})
+                n_saved += target.shape[0]
+            else:
+                for i in range(target.shape[0]):
                     writer.submit(write_one, out_split, f"b{b:06d}_{i:03d}",
                                   None, int(labels[i]),
                                   {"target_latents": target[i],
                                    "source_latents": source[i],
                                    "mask_pixels": masks[i].astype(bool)})
-                n_saved += 1
+                    n_saved += 1
         else:
             z = encode(pixels)
             if quant is not None:
                 z = quant(z)
             z = np.asarray(z)
-            for i in range(z.shape[0]):
-                if shard is not None:
-                    shard.add(z[i], int(labels[i]))
-                    with lock:
-                        bytes_written += shard._record_bytes
-                else:
+            if shard is not None:
+                with lock:
+                    bytes_written += shard.add_batch(z, labels)
+                n_saved += z.shape[0]
+            else:
+                for i in range(z.shape[0]):
                     writer.submit(write_one, out_split, f"b{b:06d}_{i:03d}",
                                   z[i], int(labels[i]))
-                n_saved += 1
+                    n_saved += 1
         if bytes_written > max_gb * 1e9:
             print(f"storage cap {max_gb}GB reached")
             break

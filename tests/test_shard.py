@@ -54,6 +54,36 @@ def test_extra_fields_inpainting(tmp_path):
     np.testing.assert_allclose(fields["mask_pixels"], masks[[1, 2]])
 
 
+def test_add_batch_matches_per_sample(tmp_path):
+    """Vectorized add_batch writes byte-identical shards to per-sample add,
+    including the interleaved extras layout."""
+    rng = np.random.default_rng(2)
+    shape, n = (4, 4, 2), 30
+    data = rng.standard_normal((n,) + shape).astype(np.float32)
+    masks = rng.standard_normal((n, 8, 8, 1)).astype(np.float32)
+    labels = np.arange(n) % 5
+    extra_fields = {"source_latents": shape, "mask_pixels": (8, 8, 1)}
+
+    w1 = ShardWriter(str(tmp_path / "a.fcshard"), shape,
+                     extra_fields=extra_fields)
+    for i in range(n):
+        w1.add(data[i], label=labels[i],
+               extras={"source_latents": data[i] * 0.5,
+                       "mask_pixels": masks[i]})
+    w1.close()
+
+    w2 = ShardWriter(str(tmp_path / "b.fcshard"), shape,
+                     extra_fields=extra_fields)
+    nb = w2.add_batch(data, labels, extras={"source_latents": data * 0.5,
+                                            "mask_pixels": masks})
+    assert nb == n * w2._record_bytes
+    w2.close()
+
+    with open(tmp_path / "a.fcshard", "rb") as f1, \
+            open(tmp_path / "b.fcshard", "rb") as f2:
+        assert f1.read() == f2.read()
+
+
 def test_shard_dataset_with_loader(tmp_path):
     path, data, _ = _write(tmp_path, n=64)
     ds = ShardDataset(path)
