@@ -148,10 +148,16 @@ def generator_loss(disc_apply: Callable, disc_params, fake_images,
 def compute_vqgan_losses(recon, target_imgs, vq_loss, config,
                          perceptual_fn: Optional[Callable] = None,
                          disc_apply: Optional[Callable] = None,
-                         disc_params=None, warmed_up: bool = False) -> dict:
+                         disc_params=None, warmed_up: bool = False,
+                         report_d_loss: bool = True) -> dict:
     """Aggregate codec losses (reference: metrics.py:163-189). ``warmed_up``
     replaces the reference's ``epoch >= warmup_epochs`` host check so the
-    whole thing stays jittable (two compiled variants, pre/post warmup)."""
+    whole thing stays jittable (two compiled variants, pre/post warmup).
+
+    ``report_d_loss=False`` drops the monitoring-only hinge D loss — the
+    fused GAN step (training/vqgan.py) reports the D-step's own d_loss and
+    overwrites this one, so its stop-gradient fake forward is pure waste
+    there; the real forward still runs for the feature-matching targets."""
     cc = config.codec
     losses = {"mse": jnp.mean((recon - target_imgs) ** 2), "vq": vq_loss}
     if float(cc.get("lambda_perc", 0)) > 0 and perceptual_fn is not None:
@@ -160,10 +166,13 @@ def compute_vqgan_losses(recon, target_imgs, vq_loss, config,
     if float(cc.get("lambda_ce", 0)) > 0:
         losses["ce"] = piano_roll_rgb_cross_entropy(recon, target_imgs)
     if disc_apply is not None and warmed_up:
-        d_loss, real_features = discriminator_loss(disc_apply, disc_params,
-                                                   target_imgs, recon)
+        if report_d_loss:
+            d_loss, real_features = discriminator_loss(
+                disc_apply, disc_params, target_imgs, recon)
+            losses["d_loss"] = d_loss
+        else:
+            _, real_features = disc_apply(disc_params, target_imgs)
         g_loss = generator_loss(disc_apply, disc_params, recon, real_features)
-        losses["d_loss"] = d_loss
         losses["g_loss"] = float(cc.get("lambda_gen", 0.05)) * g_loss
     return losses
 

@@ -34,9 +34,12 @@ __all__ = [
     "warp_time",
     "euler_step",
     "rk4_step",
+    "heun_step",
+    "midpoint_step",
     "cfg_velocity",
     "generate_latents_rk4",
     "generate_latents_euler",
+    "generate_latents_second_order",
     "generate_latents_rk45",
     "generate_latents",
 ]
@@ -71,6 +74,23 @@ def rk4_step(f: Callable, y, t, dt):
     k3 = f(y + dt * k2 / 2, t + dt / 2)
     k4 = f(y + dt * k3, t + dt)
     return y + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+
+def heun_step(f: Callable, y, t, dt):
+    """Heun (explicit trapezoid) step — 2 NFE, 2nd order. Not in the
+    reference (its samplers are Euler/RK4/scipy-RK45); added because the
+    serving sampler is NFE-bound (docs/BENCH_NOTES.md): half RK4's model
+    evals per step at the same order count as flow-matching paths are
+    near-straight after OT pairing."""
+    k1 = f(y, t)
+    k2 = f(y + dt * k1, t + dt)
+    return y + (dt / 2) * (k1 + k2)
+
+
+def midpoint_step(f: Callable, y, t, dt):
+    """Explicit midpoint step — 2 NFE, 2nd order (see heun_step)."""
+    k1 = f(y, t)
+    return y + dt * f(y + (dt / 2) * k1, t + dt / 2)
 
 
 def cfg_velocity(apply_fn: Callable, cond: Optional[dict], cfg_strength: float,
@@ -190,6 +210,30 @@ def generate_latents_euler(apply_fn: Callable, shape, rng: jax.Array,
     return x, ts.shape[0] - 1
 
 
+def generate_latents_second_order(apply_fn: Callable, shape, rng: jax.Array,
+                                  n_steps: int = 25,
+                                  cond: Optional[dict] = None,
+                                  cfg_strength: float = 3.0, source=None,
+                                  init_latents=None,
+                                  init_strength: float = 0.0,
+                                  t_scale: float = 999.0, warp_s: float = 0.5,
+                                  dtype=jnp.float32, kind: str = "heun"):
+    """Heun/midpoint integration — 2 NFE per step (vs RK4's 4) at 2nd order,
+    for the NFE-bound serving path. Returns ``(latents, nfe)``."""
+    step = heun_step if kind == "heun" else midpoint_step
+    k_init, _ = jax.random.split(rng)
+    x0 = source if source is not None else jax.random.normal(k_init, shape,
+                                                             dtype)
+    if init_latents is not None:
+        x0 = (1 - init_strength) * x0 + init_strength * init_latents
+    else:
+        init_strength = 0.0
+    ts = _time_grid(n_steps, init_strength, warp_s, dtype)
+    v_func = cfg_velocity(apply_fn, cond, cfg_strength, t_scale)
+    x = _integrate_scan(step, v_func, x0, ts)
+    return x, (ts.shape[0] - 1) * 2
+
+
 # Dormand–Prince RK45 Butcher tableau.
 _DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
 _DP_A = (
@@ -268,13 +312,17 @@ def generate_latents(apply_fn: Callable, shape, rng: jax.Array,
                      cond: Optional[dict] = None, cfg_strength: float = 3.0,
                      source=None, init_latents=None, init_strength: float = 0.0,
                      t_scale: float = 999.0, dtype=jnp.float32):
-    """Dispatch by method ∈ {'rk4', 'euler', 'rk45'}
+    """Dispatch by method ∈ {'rk4', 'euler', 'heun', 'midpoint', 'rk45'}
     (reference: sampling.py:127-146 — whose 'rk45' branch called a removed
-    function; here it works)."""
+    function; here it works; heun/midpoint are NFE-efficient additions)."""
     common = dict(cond=cond, cfg_strength=cfg_strength, source=source,
                   t_scale=t_scale, dtype=dtype)
     if method == "rk45":
         return generate_latents_rk45(apply_fn, shape, rng, **common)
+    if method in ("heun", "midpoint"):
+        return generate_latents_second_order(
+            apply_fn, shape, rng, n_steps=n_steps, init_latents=init_latents,
+            init_strength=init_strength, kind=method, **common)
     if method == "euler":
         return generate_latents_euler(apply_fn, shape, rng, n_steps=n_steps,
                                       init_latents=init_latents,

@@ -29,6 +29,7 @@ __all__ = [
     "flatten_tree", "unflatten_tree", "save_checkpoint", "load_checkpoint",
     "load_into_tree", "keep_recent_files", "latest_checkpoint",
     "save_checkpoint_sharded", "load_checkpoint_sharded",
+    "save_checkpoint_orbax", "load_checkpoint_orbax", "orbax_available",
 ]
 
 _SEP = "/"
@@ -203,6 +204,54 @@ def load_checkpoint_sharded(ckpt_dir: str, prefix: str, epoch: int) -> dict:
         flat[leaf_key] = full
     return {"state": unflatten_tree(flat), "epoch": epoch_out,
             "config": config}
+
+
+def orbax_available() -> bool:
+    try:
+        import orbax.checkpoint  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def save_checkpoint_orbax(tree, epoch: int, ckpt_dir: str = "checkpoints_orbax",
+                          config=None, keep: int = 5) -> str:
+    """Orbax interop backend (SURVEY §5.4 "orbax-style checkpointing";
+    docs/ROADMAP.md): the same nested state tree written through
+    ``orbax.checkpoint.CheckpointManager`` so external TPU tooling that
+    speaks orbax (multi-host array serialization, async saves, GCS paths)
+    can consume the run directly. ``config`` rides along as JSON metadata.
+    The single-file npz (``save_checkpoint``) stays the interchange format;
+    the first-party sharded-npz backend stays the dependency-free scale
+    path."""
+    import orbax.checkpoint as ocp
+    root = os.path.abspath(ckpt_dir)
+    options = ocp.CheckpointManagerOptions(max_to_keep=keep, create=True)
+    with ocp.CheckpointManager(root, options=options) as mgr:
+        args = {"state": ocp.args.StandardSave(tree)}
+        if config is not None:
+            args["config"] = ocp.args.JsonSave(to_dict(config))
+        mgr.save(int(epoch), args=ocp.args.Composite(**args))
+        mgr.wait_until_finished()
+    return os.path.join(root, str(int(epoch)))
+
+
+def load_checkpoint_orbax(ckpt_dir: str, epoch: Optional[int] = None) -> dict:
+    """Restore an orbax checkpoint written by ``save_checkpoint_orbax``.
+    ``epoch=None`` restores the latest step. Returns
+    {'state': nested tree of numpy/jax arrays, 'epoch': int, 'config':
+    Config or None} — same contract as ``load_checkpoint_sharded``."""
+    import orbax.checkpoint as ocp
+    root = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(root) as mgr:
+        step = int(epoch) if epoch is not None else mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no orbax checkpoints under {root}")
+        out = mgr.restore(step)
+    config = None
+    if getattr(out, "config", None) is not None:
+        config = config_from_dict(dict(out.config))
+    return {"state": out.state, "epoch": step, "config": config}
 
 
 def load_into_tree(template, state_dict: dict, strict: bool = True):

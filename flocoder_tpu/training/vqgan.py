@@ -245,9 +245,13 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
         # the saved vjp.
         def g_loss_on_outputs(recon, commit):
             disc_fn = lambda dv, x: disc_apply_eval(dv, x)
+            # report_d_loss=False: aux["d_loss"] below reports the D step's
+            # own loss, so the monitoring hinge recomputation (one extra disc
+            # forward on stop-grad fake) is skipped.
             losses = compute_vqgan_losses(
                 recon, batch, commit, config, perceptual_fn=perceptual_fn,
-                disc_apply=disc_fn, disc_params=disc_vars, warmed_up=True)
+                disc_apply=disc_fn, disc_params=disc_vars, warmed_up=True,
+                report_d_loss=False)
             return get_total_vqgan_loss(losses, config), losses
 
         (total, losses), (d_recon, d_commit) = jax.value_and_grad(

@@ -90,13 +90,40 @@ def test_rk45_matches_rk4_on_smooth_field():
     assert int(nfe) > 0
 
 
+def test_second_order_steps_order_and_accuracy():
+    """Heun/midpoint sit between Euler and RK4 on dy/dt=-y, and both are
+    2nd order (error ratio ~4 when halving dt)."""
+    from flocoder_tpu.sampling import heun_step, midpoint_step
+    f = lambda y, t: -y
+    exact = np.exp(-1)
+
+    def integrate(step, n):
+        y = jnp.ones(())
+        ts = jnp.linspace(0, 1, n + 1)
+        for i in range(n):
+            y = step(f, y, ts[i], ts[i + 1] - ts[i])
+        return float(y)
+
+    for step in (heun_step, midpoint_step):
+        err_e = abs(integrate(euler_step, 10) - exact)
+        err_2 = abs(integrate(step, 10) - exact)
+        err_4 = abs(integrate(rk4_step, 10) - exact)
+        assert err_4 < err_2 < err_e
+        # 2nd order: halving dt cuts error ~4x
+        ratio = abs(integrate(step, 10) - exact) / \
+            abs(integrate(step, 20) - exact)
+        assert 3.0 < ratio < 5.0
+
+
 def test_generate_latents_dispatch():
     rng = jax.random.PRNGKey(2)
-    for method in ("rk4", "euler", "rk45"):
+    for method in ("rk4", "euler", "heun", "midpoint", "rk45"):
         x, nfe = generate_latents(_linear_field, (2, 2, 2, 1), rng,
                                   method=method, n_steps=10,
                                   cfg_strength=0.0, t_scale=1.0)
         assert x.shape == (2, 2, 2, 1)
+        if method in ("heun", "midpoint"):
+            assert int(nfe) == 9 * 2
 
 
 def test_cfg_velocity_mixing():

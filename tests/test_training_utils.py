@@ -194,3 +194,32 @@ def test_sharded_checkpoint_roundtrip_and_mesh_reshape(tmp_path):
                                                out["state"]), min_size=16)
     np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
                                   state["params"]["w"])
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax interop backend (docs/ROADMAP.md): same nested-tree contract
+    through orbax's CheckpointManager, config riding along as JSON."""
+    import numpy as np
+    import pytest
+    from flocoder_tpu.config import Config
+    from flocoder_tpu.training.checkpoint import (load_checkpoint_orbax,
+                                                  orbax_available,
+                                                  save_checkpoint_orbax)
+    if not orbax_available():
+        pytest.skip("orbax not installed")
+
+    rng = np.random.default_rng(1)
+    state = {"params": {"w": rng.standard_normal((4, 8)).astype(np.float32),
+                        "b": rng.standard_normal((8,)).astype(np.float32)},
+             "step": np.int32(11)}
+    cfg = Config({"flow": {"lr": 1e-3}, "seed": 3})
+    save_checkpoint_orbax(state, epoch=2, ckpt_dir=str(tmp_path / "ob"),
+                          config=cfg, keep=3)
+
+    out = load_checkpoint_orbax(str(tmp_path / "ob"))  # latest
+    assert out["epoch"] == 2
+    np.testing.assert_array_equal(np.asarray(out["state"]["params"]["w"]),
+                                  state["params"]["w"])
+    assert int(out["state"]["step"]) == 11
+    assert out["config"] is not None
+    assert float(out["config"].flow.lr) == pytest.approx(1e-3)

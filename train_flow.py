@@ -376,7 +376,16 @@ def train_flow(config):
 
         # ---- checkpoints (reference: train_flow.py:441-447) ---------------
         if epoch % int(ldcfg(config, "ckpt_every", 25)) == 0:
-            if bool(ldcfg(config, "sharded_checkpoints", False)):
+            if bool(ldcfg(config, "orbax_checkpoints", False)):
+                # orbax interop backend (training/checkpoint.py): for
+                # environments whose TPU tooling consumes orbax trees
+                from flocoder_tpu.training.checkpoint import \
+                    save_checkpoint_orbax
+                save_checkpoint_orbax(
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "ema": state.ema}, epoch=epoch,
+                    ckpt_dir="checkpoints_orbax", config=config, keep=5)
+            elif bool(ldcfg(config, "sharded_checkpoints", False)):
                 # multi-host scale path: each host writes its own shards
                 # (training/checkpoint.py:save_checkpoint_sharded);
                 # restorable onto any mesh shape
