@@ -69,6 +69,14 @@ def _na2d_kernel(q_ref, k_ref, v_ref, o_ref, *, ks: int, H: int, W: int,
 
 
 def _pick_tile_h(H: int) -> int:
+    """Row-band height. Hardware sweep (benchmarks/na2d_tile_sweep.py, v5e,
+    B=16/8-head/k=7): at 16² a single full-height band wins (bf16 fwd+bwd
+    1215 µs vs 1308 at tile 8 — the band's K/V halo spans the whole slice
+    anyway so smaller tiles only add grid overhead); at 32² tile 8 is best
+    (2010 µs fwd+bwd bf16; 16/32 regress the bwd). So: whole grid when it's
+    small, else 8-row bands."""
+    if H <= 16:
+        return H
     for t in (8, 4, 2, 1):
         if H % t == 0:
             return t
