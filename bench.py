@@ -310,14 +310,18 @@ def _bench_vqgan_gan_step(dtype=None):
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((2, S, S, 3))
     params = codec.init(rng, sample)
-    disc = VQGANPlusPatchDiscriminator(in_channels=3)
+    # disc + VGG follow the codec compute dtype (as train_vqgan.py wires it)
+    disc = VQGANPlusPatchDiscriminator(in_channels=3,
+                                       dtype=dtype or jnp.float32)
     disc_vars = init_discriminator(disc, jax.random.PRNGKey(1), sample)
     tx_g, tx_d = make_vqgan_optimizers(1e-4)
     state = create_vqgan_state(params, tx_g, disc_vars, tx_d)
     step = make_vqgan_gan_step(codec, tx_g, disc,
                                make_disc_apply(disc, update_stats=True),
                                make_disc_apply(disc, update_stats=False),
-                               tx_d, cfg, make_perceptual_fn(S))
+                               tx_d, cfg,
+                               make_perceptual_fn(S, dtype=dtype
+                                                  or jnp.float32))
 
     x = jnp.asarray(np.random.default_rng(2).standard_normal(
         (B, S, S, 3)).astype(np.float32) * 0.5)

@@ -30,10 +30,10 @@ class GaussianBlur(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        k = jnp.asarray([[1., 2., 2., 1.],
-                         [2., 4., 4., 2.],
-                         [2., 4., 4., 2.],
-                         [1., 2., 2., 1.]]) / 36.0
+        k = (jnp.asarray([[1., 2., 2., 1.],
+                          [2., 4., 4., 2.],
+                          [2., 4., 4., 2.],
+                          [1., 2., 2., 1.]]) / 36.0).astype(x.dtype)
         c = x.shape[-1]
         kernel = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
         return jax.lax.conv_general_dilated(

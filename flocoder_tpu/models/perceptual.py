@@ -94,11 +94,13 @@ def convert_torch_vgg16(state_dict) -> dict:
 
 
 def make_perceptual_fn(image_size: int = 128, weights_path: str =
-                       "weights/vgg16_features.npz", seed: int = 0):
+                       "weights/vgg16_features.npz", seed: int = 0,
+                       dtype=jnp.float32):
     """Build ``feature_fn(images_imagenet_normalized) -> [feature maps]``
     for metrics.perceptual_loss. Uses converted pretrained weights when
-    present, else a fixed random-init network."""
-    model = VGG16Features()
+    present, else a fixed random-init network. ``dtype`` sets the compute
+    dtype (params stay fp32); pass bf16 to match a bf16 codec step."""
+    model = VGG16Features(dtype=dtype)
     variables = load_vgg16_weights(weights_path)
     if variables is None:
         variables = model.init(jax.random.PRNGKey(seed),

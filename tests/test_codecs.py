@@ -76,3 +76,48 @@ def test_setup_codec_dispatch():
                             "commitment_weight": 0.5}})
     c = setup_codec(cfg)
     assert isinstance(c, VQVAE) and c.in_channels == 1
+
+
+def test_gan_step_bf16_disc_and_vgg():
+    """The GAN step with the whole net stack in bf16 compute (codec + disc +
+    VGG perceptual follow codec.bf16 — train_vqgan.py wiring): one step runs,
+    losses finite, params updated. Guards the GaussianBlur kernel-dtype fix
+    (fp32-only blur used to TypeError under a bf16 discriminator)."""
+    from flocoder_tpu.config import config_from_dict
+    from flocoder_tpu.models.discriminator import (
+        VQGANPlusPatchDiscriminator, init_discriminator, make_disc_apply)
+    from flocoder_tpu.models.perceptual import make_perceptual_fn
+    from flocoder_tpu.training.vqgan import (create_vqgan_state,
+                                             make_vqgan_optimizers,
+                                             make_vqgan_gan_step)
+    B, S = 4, 16
+    cfg = config_from_dict({"codec": {
+        "choice": "vqgan", "in_channels": 3, "hidden_channels": 8,
+        "num_downsamples": 2, "internal_dim": 8, "vq_embedding_dim": 4,
+        "codebook_levels": 2, "vq_num_embeddings": 8,
+        "commitment_weight": 0.5, "image_size": S,
+        "lambda_gen": 0.05, "lambda_mse": 0.5, "lambda_perc": 1e-3,
+        "lambda_vq": 0.25}})
+    codec = VQVAE(in_channels=3, hidden_channels=8, num_downsamples=2,
+                  internal_dim=8, vq_embedding_dim=4, codebook_levels=2,
+                  vq_num_embeddings=8, dtype=jnp.bfloat16)
+    sample = jnp.zeros((2, S, S, 3))
+    params = codec.init(jax.random.PRNGKey(0), sample)
+    disc = VQGANPlusPatchDiscriminator(in_channels=3, dtype=jnp.bfloat16)
+    disc_vars = init_discriminator(disc, jax.random.PRNGKey(1), sample)
+    tx_g, tx_d = make_vqgan_optimizers(1e-4)
+    state = create_vqgan_state(params, tx_g, disc_vars, tx_d)
+    step = make_vqgan_gan_step(
+        codec, tx_g, disc, make_disc_apply(disc, update_stats=True),
+        make_disc_apply(disc, update_stats=False), tx_d, cfg,
+        make_perceptual_fn(S, weights_path="/nonexistent",
+                           dtype=jnp.bfloat16))
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (B, S, S, 3)).astype(np.float32) * 0.5)
+    new_state, aux, idx = step(state, x, jax.random.PRNGKey(3))
+    assert np.isfinite(float(aux["total"])) and np.isfinite(float(aux["d_loss"]))
+    # params are fp32 master copies and actually moved
+    enc0 = jax.tree_util.tree_leaves(state.params["encoder"])[0]
+    enc1 = jax.tree_util.tree_leaves(new_state.params["encoder"])[0]
+    assert enc0.dtype == jnp.float32
+    assert float(np.abs(np.asarray(enc1 - enc0)).max()) > 0

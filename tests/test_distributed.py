@@ -257,3 +257,60 @@ def test_fsdp_state_sharding_matches_replicated(mesh):
     assert any(
         not x.sharding.is_fully_replicated for x in leaves
         if hasattr(x, "sharding")), "no param stayed sharded through steps"
+
+
+def test_vqgan_tp_gspmd_matches_replicated():
+    """Tensor-parallel codec training (train_vqgan.py `codec.tp`): plain-jit
+    warmup steps with params sharded over the 'model' axis
+    (tp_param_shardings) must match the replicated run — GSPMD derives the
+    Megatron-style collectives purely from placement."""
+    from flocoder_tpu.config import config_from_dict
+    from flocoder_tpu.models.codecs import VQVAE
+    from flocoder_tpu.parallel.mesh import (make_mesh, shard_state_tp,
+                                            tp_param_shardings)
+    from flocoder_tpu.training.vqgan import (create_vqgan_state,
+                                             make_vqgan_optimizers,
+                                             make_vqgan_warmup_step)
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    B, S = 8, 16
+    cfg = config_from_dict({"codec": {
+        "choice": "vqgan", "in_channels": 3, "hidden_channels": 16,
+        "num_downsamples": 2, "internal_dim": 16, "vq_embedding_dim": 4,
+        "codebook_levels": 2, "vq_num_embeddings": 8,
+        "commitment_weight": 0.5, "image_size": S,
+        "lambda_mse": 0.5, "lambda_vq": 0.25}})
+    codec = VQVAE(in_channels=3, hidden_channels=16, num_downsamples=2,
+                  internal_dim=16, vq_embedding_dim=4, codebook_levels=2,
+                  vq_num_embeddings=8)
+    params = codec.init(jax.random.PRNGKey(0), jnp.zeros((2, S, S, 3)))
+    tx_g, tx_d = make_vqgan_optimizers(1e-3)
+    step = make_vqgan_warmup_step(codec, tx_g, cfg)  # plain jit
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (B, S, S, 3)).astype(np.float32) * 0.5)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    # the tiny test net needs a tiny min_size so convs actually shard
+    sh = tp_param_shardings(mesh, create_vqgan_state(params, tx_g),
+                            min_size=64)
+    n_sharded = sum(1 for s in jax.tree_util.tree_leaves(
+        sh, is_leaf=lambda s: hasattr(s, "spec"))
+        if any(d is not None for d in s.spec))
+    assert n_sharded > 0
+
+    state_rep = create_vqgan_state(params, tx_g)
+    state_tp = shard_state_tp(mesh, create_vqgan_state(params, tx_g),
+                              min_size=64)
+    for i in range(3):
+        k = jax.random.PRNGKey(10 + i)
+        state_rep, aux_rep, _ = step(state_rep, x, k)
+        state_tp, aux_tp, _ = step(state_tp, x, k)
+    np.testing.assert_allclose(float(aux_tp["total"]),
+                               float(aux_rep["total"]), rtol=1e-4)
+    w_rep = jax.tree_util.tree_leaves(state_rep.params["encoder"])[0]
+    w_tp = jax.tree_util.tree_leaves(state_tp.params["encoder"])[0]
+    np.testing.assert_allclose(np.asarray(w_tp), np.asarray(w_rep),
+                               rtol=1e-3, atol=1e-4)
+    leaves = jax.tree_util.tree_leaves(state_tp.params)
+    assert any(not x.sharding.is_fully_replicated for x in leaves
+               if hasattr(x, "sharding")), "no param stayed TP-sharded"

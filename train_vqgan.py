@@ -86,11 +86,19 @@ def train_vqgan(config):
     # metrics.py:220) or 'vqgan_plus' (the full VQGANPlusDiscriminator,
     # vqgan_plus.py:191-229, paired with LeCAM via lecam_weight)
     disc_choice = str(ldcfg(config, "discriminator", "patch"))
+    # discriminator + perceptual net follow the codec's compute dtype
+    # (codecs.py:546): params fp32, compute bf16 when codec.bf16 is set —
+    # the D-step/G-pullback disc passes are a material share of the GAN step
+    # (benchmarks/gan_profile.py)
+    net_dtype = (jnp.bfloat16 if bool(ldcfg(config, "bf16", False))
+                 else jnp.float32)
     if disc_choice == "vqgan_plus":
         from flocoder_tpu.models.discriminator import VQGANPlusDiscriminator
-        disc = VQGANPlusDiscriminator(in_channels=in_channels)
+        disc = VQGANPlusDiscriminator(in_channels=in_channels,
+                                      dtype=net_dtype)
     else:
-        disc = VQGANPlusPatchDiscriminator(in_channels=in_channels)
+        disc = VQGANPlusPatchDiscriminator(in_channels=in_channels,
+                                           dtype=net_dtype)
     rng, k_disc = jax.random.split(rng)
     disc_vars = init_discriminator(disc, k_disc, sample)
     disc_apply_train = make_disc_apply(disc, update_stats=True)
@@ -101,12 +109,24 @@ def train_vqgan(config):
 
     perceptual_fn = None
     if float(cc.get("lambda_perc", 0)) > 0 and in_channels == 3:
-        perceptual_fn = make_perceptual_fn(image_size)
+        perceptual_fn = make_perceptual_fn(image_size, dtype=net_dtype)
 
     # multi-chip: build the steps under shard_map over the mesh — batch
     # sharded over the data axes, grads pmean'd over ICI, RVQ codebook EMA
-    # stats psum'd (SURVEY §2d); a 1-device mesh keeps the plain-jit build
-    step_mesh = mesh if mesh.size > 1 else None
+    # stats psum'd (SURVEY §2d); a 1-device mesh keeps the plain-jit build.
+    # `codec.tp > 1` instead reserves a 'model' mesh axis and runs the steps
+    # as plain jit with tensor-parallel param placement (GSPMD inserts the
+    # collectives; parallel/mesh.py:tp_param_shardings) — for codecs whose
+    # activations outgrow one chip's HBM.
+    tp = int(ldcfg(config, "tp", 1))
+    if tp > 1:
+        from flocoder_tpu.parallel.mesh import make_mesh as _mm, shard_state_tp
+        mesh = _mm(n_model=tp)
+        state = shard_state_tp(mesh, state)
+        step_mesh = None
+        print(f"tensor-parallel codec training: GSPMD over {mesh.shape}")
+    else:
+        step_mesh = mesh if mesh.size > 1 else None
     if step_mesh is not None:
         print(f"multi-chip codec training: shard_map over {mesh.shape}")
     warmup_step = make_vqgan_warmup_step(codec, tx_g, config, perceptual_fn,
