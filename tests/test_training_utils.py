@@ -223,3 +223,41 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert int(out["state"]["step"]) == 11
     assert out["config"] is not None
     assert float(out["config"].flow.lr) == pytest.approx(1e-3)
+
+
+def test_make_training_key_rbg_drives_training_steps():
+    """rng_impl=rbg (hardware RngBitGenerator, utils/rng.py) produces a typed
+    key whose split/fold_in propagate the impl — both production step kinds
+    run under it and losses stay finite. Guards the train_vqgan/train_flow
+    `rng_impl` config wiring (−15% codec fwd on TPU, benchmarks/rng_probe.py)."""
+    from flocoder_tpu.utils.rng import make_training_key
+    from flocoder_tpu.config import config_from_dict
+    from flocoder_tpu.models.codecs import VQVAE
+    from flocoder_tpu.training.vqgan import (create_vqgan_state,
+                                             make_vqgan_optimizers,
+                                             make_vqgan_warmup_step)
+
+    assert make_training_key(0, None).dtype == jnp.uint32
+    assert make_training_key(0, "threefry").dtype == jnp.uint32
+    key = make_training_key(0, "rbg")
+    k1, k2 = jax.random.split(key)
+    assert jnp.issubdtype(k1.dtype, jax.dtypes.prng_key)
+
+    B, S = 2, 8
+    cfg = config_from_dict({"codec": {
+        "choice": "vqgan", "in_channels": 3, "hidden_channels": 8,
+        "num_downsamples": 2, "internal_dim": 8, "vq_embedding_dim": 4,
+        "codebook_levels": 2, "vq_num_embeddings": 8,
+        "commitment_weight": 0.5, "image_size": S,
+        "lambda_mse": 0.5, "lambda_vq": 0.25}})
+    codec = VQVAE(in_channels=3, hidden_channels=8, num_downsamples=2,
+                  internal_dim=8, vq_embedding_dim=4, codebook_levels=2,
+                  vq_num_embeddings=8)
+    params = codec.init(jax.random.PRNGKey(0), jnp.zeros((2, S, S, 3)))
+    tx_g, _ = make_vqgan_optimizers(1e-4)
+    state = create_vqgan_state(params, tx_g)
+    step = make_vqgan_warmup_step(codec, tx_g, cfg)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (B, S, S, 3)).astype(np.float32) * 0.5)
+    _, aux, _ = step(state, x, k1)
+    assert np.isfinite(float(aux["total"]))

@@ -42,6 +42,7 @@ def train_flow(config):
     from flocoder_tpu.training.schedules import cosine_warm_restarts_decay
     from flocoder_tpu.utils import logging as wblog
     from flocoder_tpu.utils.codebook_analysis import CodebookUsageTracker
+    from flocoder_tpu.utils.rng import make_training_key
 
     maybe_init_distributed()
     # flow.n_model > 1 adds a model axis (used by ring/sequence-parallel
@@ -263,7 +264,7 @@ def train_flow(config):
         codec_quantize = jax.jit(lambda z: codec.quantize(codec_params, z))
 
     # ---- training loop ----------------------------------------------------
-    key = jax.random.PRNGKey(seed + 1)
+    key = make_training_key(seed + 1, ldcfg(config, "rng_impl", None))
     t_start = time.time()
     def iter_dispatches(loader):
         """Yield (batch_for_dispatch, n_steps_it_contains)."""

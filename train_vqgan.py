@@ -43,6 +43,7 @@ def train_vqgan(config):
                                              make_vqgan_gan_step,
                                              make_vqgan_eval_step, VQGANState)
     from flocoder_tpu.utils import logging as wblog
+    from flocoder_tpu.utils.rng import make_training_key
     from flocoder_tpu.utils.codebook_analysis import (CodebookUsageTracker,
                                                       analyze_codebooks)
     from flocoder_tpu.utils.viz import save_img_grid
@@ -150,7 +151,9 @@ def train_vqgan(config):
     output_dir = f"output_vqgan_{os.path.basename(data_path)}"
     os.makedirs(output_dir, exist_ok=True)
 
-    key = jax.random.PRNGKey(seed + 1)
+    # rng_impl=rbg routes the decoder's NoiseInjection / dropout draws
+    # through the hardware RngBitGenerator (−15% codec fwd, utils/rng.py)
+    key = make_training_key(seed + 1, ldcfg(config, "rng_impl", None))
     for epoch in range(1, epochs + 1):
         gan_phase = epoch > warmup_epochs
         step_fn = gan_step if gan_phase else warmup_step
