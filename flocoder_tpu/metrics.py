@@ -149,7 +149,8 @@ def compute_vqgan_losses(recon, target_imgs, vq_loss, config,
                          perceptual_fn: Optional[Callable] = None,
                          disc_apply: Optional[Callable] = None,
                          disc_params=None, warmed_up: bool = False,
-                         report_d_loss: bool = True) -> dict:
+                         report_d_loss: bool = True,
+                         real_features=None) -> dict:
     """Aggregate codec losses (reference: metrics.py:163-189). ``warmed_up``
     replaces the reference's ``epoch >= warmup_epochs`` host check so the
     whole thing stays jittable (two compiled variants, pre/post warmup).
@@ -157,7 +158,11 @@ def compute_vqgan_losses(recon, target_imgs, vq_loss, config,
     ``report_d_loss=False`` drops the monitoring-only hinge D loss — the
     fused GAN step (training/vqgan.py) reports the D-step's own d_loss and
     overwrites this one, so its stop-gradient fake forward is pure waste
-    there; the real forward still runs for the feature-matching targets."""
+    there; the real forward still runs for the feature-matching targets.
+
+    ``real_features``: precomputed feature-matching targets — skips the
+    discriminator real forward entirely (the fused GAN step's
+    ``codec.share_real_features`` option reuses the D step's)."""
     cc = config.codec
     losses = {"mse": jnp.mean((recon - target_imgs) ** 2), "vq": vq_loss}
     if float(cc.get("lambda_perc", 0)) > 0 and perceptual_fn is not None:
@@ -166,7 +171,9 @@ def compute_vqgan_losses(recon, target_imgs, vq_loss, config,
     if float(cc.get("lambda_ce", 0)) > 0:
         losses["ce"] = piano_roll_rgb_cross_entropy(recon, target_imgs)
     if disc_apply is not None and warmed_up:
-        if report_d_loss:
+        if real_features is not None:
+            pass  # targets supplied by the caller; no real forward
+        elif report_d_loss:
             d_loss, real_features = discriminator_loss(
                 disc_apply, disc_params, target_imgs, recon)
             losses["d_loss"] = d_loss

@@ -188,10 +188,19 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
     feats)`` does not. ``lecam_weight > 0`` adds LeCAM regularization to the
     D loss (reference: VQGANPlusAdversarialLoss, vqgan_plus.py:288-299 —
     inactive in the reference's live trainer, selectable here via the
-    ``lecam_weight`` config key)."""
+    ``lecam_weight`` config key).
+
+    ``codec.share_real_features=true`` reuses the D step's real-image
+    feature maps as the G step's feature-matching targets instead of
+    re-running the discriminator on the real batch with the just-updated
+    D (reference semantics, train_vqgan.py:236-246). The targets are
+    stop-gradient constants either way; sharing makes them one Adam step
+    stale but drops one of the step's four discriminator forwards.
+    Default false (reference-exact)."""
     if donate is None:
         donate = _default_donate()
     axis_name = _resolve_axis(mesh, axis_name)
+    share_real_features = bool(config.codec.get("share_real_features", False))
 
     def step_fn(state: VQGANState, batch, rng):
         params = state.params
@@ -251,7 +260,9 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
             losses = compute_vqgan_losses(
                 recon, batch, commit, config, perceptual_fn=perceptual_fn,
                 disc_apply=disc_fn, disc_params=disc_vars, warmed_up=True,
-                report_d_loss=False)
+                report_d_loss=False,
+                real_features=(jax.lax.stop_gradient(real_features)
+                               if share_real_features else None))
             return get_total_vqgan_loss(losses, config), losses
 
         (total, losses), (d_recon, d_commit) = jax.value_and_grad(

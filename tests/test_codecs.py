@@ -121,3 +121,55 @@ def test_gan_step_bf16_disc_and_vgg():
     enc1 = jax.tree_util.tree_leaves(new_state.params["encoder"])[0]
     assert enc0.dtype == jnp.float32
     assert float(np.abs(np.asarray(enc1 - enc0)).max()) > 0
+
+
+def test_gan_step_share_real_features():
+    """codec.share_real_features=true reuses the D step's real-image feature
+    maps as the G step's feature-matching targets (one fewer disc forward,
+    training/vqgan.py). Same rng/state → identical recon, so the mse/vq
+    components must match the reference-exact variant bit-for-bit; the g_loss
+    may differ only via the one-Adam-step-stale targets."""
+    from flocoder_tpu.config import config_from_dict
+    from flocoder_tpu.models.discriminator import (
+        VQGANPlusPatchDiscriminator, init_discriminator, make_disc_apply)
+    from flocoder_tpu.training.vqgan import (create_vqgan_state,
+                                             make_vqgan_optimizers,
+                                             make_vqgan_gan_step)
+    B, S = 4, 16
+    base = {"codec": {
+        "choice": "vqgan", "in_channels": 3, "hidden_channels": 8,
+        "num_downsamples": 2, "internal_dim": 8, "vq_embedding_dim": 4,
+        "codebook_levels": 2, "vq_num_embeddings": 8,
+        "commitment_weight": 0.5, "image_size": S,
+        "lambda_gen": 0.05, "lambda_mse": 0.5, "lambda_vq": 0.25}}
+    codec = VQVAE(in_channels=3, hidden_channels=8, num_downsamples=2,
+                  internal_dim=8, vq_embedding_dim=4, codebook_levels=2,
+                  vq_num_embeddings=8)
+    sample = jnp.zeros((2, S, S, 3))
+    params = codec.init(jax.random.PRNGKey(0), sample)
+    disc = VQGANPlusPatchDiscriminator(in_channels=3)
+    disc_vars = init_discriminator(disc, jax.random.PRNGKey(1), sample)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (B, S, S, 3)).astype(np.float32) * 0.5)
+
+    def run(share):
+        cfg_d = {"codec": dict(base["codec"], share_real_features=share)}
+        cfg = config_from_dict(cfg_d)
+        tx_g, tx_d = make_vqgan_optimizers(1e-4)
+        state = create_vqgan_state(params, tx_g, disc_vars, tx_d)
+        step = make_vqgan_gan_step(
+            codec, tx_g, disc, make_disc_apply(disc, update_stats=True),
+            make_disc_apply(disc, update_stats=False), tx_d, cfg,
+            donate=False)
+        new_state, aux, _ = step(state, x, jax.random.PRNGKey(3))
+        return new_state, aux
+
+    s_ref, a_ref = run(False)
+    s_sh, a_sh = run(True)
+    for k in ("mse", "vq", "d_loss"):
+        assert float(a_ref[k]) == float(a_sh[k]), k
+    assert np.isfinite(float(a_sh["total"]))
+    assert np.isfinite(float(a_sh["g_loss"]))
+    enc0 = jax.tree_util.tree_leaves(params["encoder"])[0]
+    enc1 = jax.tree_util.tree_leaves(s_sh.params["encoder"])[0]
+    assert float(np.abs(np.asarray(enc1 - enc0)).max()) > 0
