@@ -73,7 +73,9 @@ def main():
                                       ldcfg(config, "cfg_strength", 3.0))),
         use_wandb=False, output_dir=str(config.get("output_dir", "eval_out")))
     for k, v in sorted(metrics.items()):
-        print(f"{k:>16s}: {v:.5f}")
+        # FID_feature_backend is a string stamp, not a number
+        print(f"{k:>20s}: {v:.5f}" if isinstance(v, float)
+              else f"{k:>20s}: {v}")
 
 
 if __name__ == "__main__":

@@ -144,3 +144,89 @@ def test_preencode_script_on_mesh(tmp_path, monkeypatch):
                        for f in fs if f.endswith(".npy")))
     assert lat.shape == (8, 8, 3)
     assert np.isfinite(lat).all()
+
+
+def test_generate_samples_script(tmp_path, monkeypatch):
+    """Drive generate_samples.generate_samples() (not just the sampler lib):
+    checkpoint discovery, embedded-config model rebuild, fused-sampler
+    batching across a partial last batch, PNG grid + individual writes
+    (reference: generate_samples.py:60-185)."""
+    import jax.numpy as jnp
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.training.checkpoint import save_checkpoint
+
+    script = _load_script("generate_samples")
+    monkeypatch.chdir(tmp_path)
+
+    cfg = config_from_dict({
+        "data": str(tmp_path / "toy"), "image_size": 8, "no_wandb": True,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "flow": {"dim_mults": [1, 2], "unet": {"n_classes": 4}},
+        "n_classes": 4, "dim_mults": [1, 2],
+    })
+    model = Unet(dim=8, channels=2, dim_mults=(1, 2), n_classes=4)
+    cond0 = {"class_cond": jnp.zeros((1,), jnp.int32), "mask_cond": None}
+    params = {"model": model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 8, 8, 2)),
+                                  jnp.zeros((1,)), cond0)}
+    save_checkpoint(params, 1, ckpt_dir="checkpoints", prefix="flowema_",
+                    config=cfg)
+
+    gen_cfg = config_from_dict({
+        "n_samples": 5, "batch_size": 4,   # 4 + partial batch of 1
+        "n_steps": 3, "method": "euler", "seed": 0,
+        "output_dir": str(tmp_path / "out"),
+    })
+    script._MODEL_CACHE.clear()
+    script.generate_samples(gen_cfg)
+
+    out = tmp_path / "out"
+    singles = sorted(p.name for p in out.glob("sample_*.png"))
+    assert len(singles) == 5, singles
+    grids = sorted(p.name for p in out.iterdir() if "samples_b" in p.name)
+    assert grids, list(out.iterdir())
+    from PIL import Image
+    img = Image.open(out / singles[0])
+    assert img.size == (8, 8)
+
+
+def test_evaluate_model_script(tmp_path, monkeypatch):
+    """Drive evaluate_model.main() through its real CLI surface: checkpoint
+    discovery, pre-encoded val loading, fused-sampler eval, metric printout
+    (the reference ships a 0-byte evaluate_model.py; this one is real)."""
+    import jax.numpy as jnp
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.training.checkpoint import save_checkpoint
+
+    script = _load_script("evaluate_model")
+    gen = _load_script("generate_samples")
+    monkeypatch.chdir(tmp_path)
+
+    data = str(tmp_path / "toy")
+    _write_toy_latents(f"{data}_encoded_resize", H=8, W=8, C=2)
+    cfg = config_from_dict({
+        "data": data, "image_size": 8, "no_wandb": True,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "flow": {"dim_mults": [1, 2], "unet": {"n_classes": 4}},
+        "n_classes": 4, "dim_mults": [1, 2],
+    })
+    model = Unet(dim=8, channels=2, dim_mults=(1, 2), n_classes=4)
+    cond0 = {"class_cond": jnp.zeros((1,), jnp.int32), "mask_cond": None}
+    params = {"model": model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 8, 8, 2)),
+                                  jnp.zeros((1,)), cond0)}
+    save_checkpoint(params, 1, ckpt_dir="checkpoints", prefix="flowema_",
+                    config=cfg)
+
+    gen._MODEL_CACHE.clear()
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate_model.py", "--config-name", "smoke",
+        f"data={data}", "codec.image_size=8", "image_size=8",
+        "codec.latent_shape=[2,8,8]", "+n_samples=8",
+        "+method=euler", "+n_steps=3",
+        f"+output_dir={tmp_path / 'eval_out'}",
+    ])
+    script.main()
+    assert (tmp_path / "eval_out").exists()
