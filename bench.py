@@ -215,25 +215,34 @@ def _bench_sampler_and_codecs():
             return img.ravel()[0].astype(jnp.int32), img.mean()
         t_e2e = _timed_scan(e2e_body, K=3)
 
-        heun_sps = None
+        heun_sps = ab4_sps = None
         if tag == "bf16":
-            # NFE-efficiency option: 2nd-order Heun at 25 steps = 100 NFE
-            # (with CFG) vs RK4-50's 400 — flow paths are near-straight
-            # after OT pairing, so fewer/cheaper steps is the serving lever
-            e2e_h = make_e2e_sampler(apply_p, sd, (H, H, C), batch_size=B,
-                                     method="heun", n_steps=25,
-                                     cfg_strength=3.0, n_classes=n_classes)
+            # NFE-efficiency options: 2nd-order Heun-25 = 48 NFE and
+            # 4th-order Adams-Bashforth-25 (PLMS-style multistep,
+            # sampling.generate_latents_ab4) = 33 NFE vs RK4-50's 196 —
+            # flow paths are near-straight after OT pairing, so
+            # fewer/cheaper steps is the serving lever
+            for meth, slot in (("heun", "h"), ("ab4", "a")):
+                e2e_m = make_e2e_sampler(apply_p, sd, (H, H, C),
+                                         batch_size=B, method=meth,
+                                         n_steps=25, cfg_strength=3.0,
+                                         n_classes=n_classes)
 
-            def heun_body(carry, key):
-                _, img = e2e_h(params, sd_params,
-                               jax.random.fold_in(key, carry), cls)
-                return img.ravel()[0].astype(jnp.int32), img.mean()
-            heun_sps = B / _timed_scan(heun_body, K=3)
-        per_dtype[tag] = (n_steps / t_lat, B / t_e2e, heun_sps)
+                def m_body(carry, key, _f=e2e_m):
+                    _, img = _f(params, sd_params,
+                                jax.random.fold_in(key, carry), cls)
+                    return img.ravel()[0].astype(jnp.int32), img.mean()
+                sps = B / _timed_scan(m_body, K=3)
+                if slot == "h":
+                    heun_sps = sps
+                else:
+                    ab4_sps = sps
+        per_dtype[tag] = (n_steps / t_lat, B / t_e2e, heun_sps, ab4_sps)
         del params, sd_params
     ode_steps_per_sec = max(v[0] for v in per_dtype.values())
     e2e_sps = max(v[1] for v in per_dtype.values())
     heun_sps = per_dtype["bf16"][2]
+    ab4_sps = per_dtype["bf16"][3]
 
     # rebuild the fp32 SD-VAE for the pre-encode measurement below
     sd = SDVAE(image_size=128, weights_path="")
@@ -271,6 +280,7 @@ def _bench_sampler_and_codecs():
         "e2e_sampler_fp32_samples_per_sec": round(per_dtype["fp32"][1], 1),
         "e2e_sampler_bf16_samples_per_sec": round(per_dtype["bf16"][1], 1),
         "e2e_sampler_heun25_samples_per_sec": round(heun_sps, 1),
+        "e2e_sampler_ab4_25_samples_per_sec": round(ab4_sps, 1),
         "preencode_samples_per_sec": round(preencode_sps, 1),
         "fused_vq_preencode_samples_per_sec": round(B / t_fused, 1),
         "unfused_vq_preencode_samples_per_sec": round(B / t_unf, 1),

@@ -122,7 +122,8 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
 
     # fixed-NFE methods fuse; adaptive rk45's data-dependent NFE stays on
     # the legacy path (its while_loop is jitted internally anyway)
-    if params is not None and method in ("rk4", "euler"):
+    if params is not None and method in ("rk4", "euler", "heun", "midpoint",
+                                         "ab4"):
         cls = cond.get("class_cond") if cond else None
         msk = cond.get("mask_cond") if cond else None
         fused = _get_fused_sampler(
@@ -135,7 +136,10 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
                                       source, init_latents)
         # n_steps grid points → n_steps-1 integration intervals
         # (sampling.py nfe convention)
-        nfe = (n_steps - 1) * (4 if method == "rk4" else 1)
+        n_int = n_steps - 1
+        nfe = {"rk4": 4 * n_int, "euler": n_int, "heun": 2 * n_int,
+               "midpoint": 2 * n_int,
+               "ab4": 12 + (n_int - 3) if n_int >= 4 else 4 * n_int}[method]
         return pred_latents, decoded, nfe
 
     pred_latents, nfe = generate_latents(

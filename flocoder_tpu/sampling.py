@@ -40,6 +40,7 @@ __all__ = [
     "generate_latents_rk4",
     "generate_latents_euler",
     "generate_latents_second_order",
+    "generate_latents_ab4",
     "generate_latents_rk45",
     "generate_latents",
 ]
@@ -234,6 +235,90 @@ def generate_latents_second_order(apply_fn: Callable, shape, rng: jax.Array,
     return x, (ts.shape[0] - 1) * 2
 
 
+def _ab4_coefficients(ts):
+    """Variable-step 4th-order Adams–Bashforth weights for a (warped,
+    non-uniform) grid. For each step i ≥ 3, returns the weights c s.t.
+    ``x_{i+1} = x_i + Σ_j c_j · f(t_{i-3+j})`` — the integral over
+    [t_i, t_{i+1}] of the cubic interpolating f at {t_{i-3..i}}. On a
+    uniform grid this reduces to the classic (−9, 37, −59, 55)·h/24.
+    Solved as a batched 4×4 Vandermonde moment system, shifted to t_i for
+    conditioning. Shape: (n_intervals − 3, 4), oldest → newest."""
+    n = ts.shape[0] - 1  # intervals
+    idx = jnp.arange(3, n)
+    # node times relative to t_i: (m, 4)
+    tau = jnp.stack([ts[idx - 3], ts[idx - 2], ts[idx - 1], ts[idx]],
+                    axis=1) - ts[idx][:, None]
+    dt1 = (ts[idx + 1] - ts[idx])[:, None]            # (m, 1)
+    k = jnp.arange(4)[None, :]                         # (1, 4)
+    # Vandermonde V[m, k, j] = tau_j^k ; moments m_k = dt1^{k+1}/(k+1)
+    vand = tau[:, None, :] ** jnp.arange(4)[None, :, None]
+    moments = dt1 ** (k + 1) / (k + 1)                 # (m, 4)
+    return jnp.linalg.solve(vand, moments[..., None])[..., 0]
+
+
+def generate_latents_ab4(apply_fn: Callable, shape, rng: jax.Array,
+                         n_steps: int = 25, cond: Optional[dict] = None,
+                         cfg_strength: float = 3.0, source=None,
+                         init_latents=None, init_strength: float = 0.0,
+                         t_scale: float = 999.0, warp_s: float = 0.5,
+                         dtype=jnp.float32):
+    """4th-order Adams–Bashforth linear multistep integration — ONE model
+    eval per step after a 3-step RK4 bootstrap (whose k1 evals double as the
+    stored grid velocities, so the bootstrap adds no extra NFE).
+
+    Not in the reference (its samplers are Euler/RK4/scipy-RK45;
+    sampling.py:127-146). This is the PLMS idea from pseudo-numerical
+    diffusion samplers applied to flow matching: the serving path is
+    NFE-bound (docs/BENCH_NOTES.md) and OT-paired flow trajectories are
+    near-straight, so a multistep method keeps 4th-order accuracy at ¼ of
+    RK4's evals. Weights are recomputed per step for the warped
+    (non-uniform) time grid — see ``_ab4_coefficients``.
+
+    NFE = 12 (bootstrap) + (n_intervals − 3). Returns ``(latents, nfe)``.
+    Falls back to plain RK4 when the grid has < 5 points."""
+    k_init, _ = jax.random.split(rng)
+    x0 = source if source is not None else jax.random.normal(k_init, shape,
+                                                             dtype)
+    if init_latents is not None:
+        x0 = (1 - init_strength) * x0 + init_strength * init_latents
+    else:
+        init_strength = 0.0
+    ts = _time_grid(n_steps, init_strength, warp_s, dtype)
+    v_func = cfg_velocity(apply_fn, cond, cfg_strength, t_scale)
+    n = ts.shape[0] - 1
+    if n < 4:
+        x = _integrate_scan(rk4_step, v_func, x0, ts)
+        return x, n * 4
+
+    # Bootstrap x_0 → x_3 with RK4; k1 of each step IS f(x_i, t_i), so the
+    # multistep history comes for free.
+    x = x0
+    hist = []
+    for i in range(3):
+        t0, dt = ts[i], ts[i + 1] - ts[i]
+        k1 = v_func(x, t0)
+        k2 = v_func(x + dt * k1 / 2, t0 + dt / 2)
+        k3 = v_func(x + dt * k2 / 2, t0 + dt / 2)
+        k4 = v_func(x + dt * k3, t0 + dt)
+        hist.append(k1)
+        x = x + (dt / 6) * (k1 + 2 * k2 + 2 * k3 + k4)
+    f_hist = jnp.stack(hist)  # (3, *shape): f at t_0, t_1, t_2
+
+    coeffs = _ab4_coefficients(ts).astype(dtype)  # (n-3, 4)
+
+    def body(carry, inp):
+        x, fh = carry
+        t_i, c = inp
+        f_i = v_func(x, t_i)
+        fs = jnp.concatenate([fh, f_i[None]], axis=0)       # (4, *shape)
+        x = x + jnp.tensordot(c, fs, axes=1)
+        return (x, fs[1:]), None
+
+    (x, _), _ = jax.lax.scan(body, (x, f_hist), (ts[3:-1], coeffs))
+    nfe = 12 + (n - 3)
+    return x, nfe
+
+
 # Dormand–Prince RK45 Butcher tableau.
 _DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
 _DP_A = (
@@ -312,13 +397,18 @@ def generate_latents(apply_fn: Callable, shape, rng: jax.Array,
                      cond: Optional[dict] = None, cfg_strength: float = 3.0,
                      source=None, init_latents=None, init_strength: float = 0.0,
                      t_scale: float = 999.0, dtype=jnp.float32):
-    """Dispatch by method ∈ {'rk4', 'euler', 'heun', 'midpoint', 'rk45'}
-    (reference: sampling.py:127-146 — whose 'rk45' branch called a removed
-    function; here it works; heun/midpoint are NFE-efficient additions)."""
+    """Dispatch by method ∈ {'rk4', 'euler', 'heun', 'midpoint', 'ab4',
+    'rk45'} (reference: sampling.py:127-146 — whose 'rk45' branch called a
+    removed function; here it works; heun/midpoint/ab4 are NFE-efficient
+    additions)."""
     common = dict(cond=cond, cfg_strength=cfg_strength, source=source,
                   t_scale=t_scale, dtype=dtype)
     if method == "rk45":
         return generate_latents_rk45(apply_fn, shape, rng, **common)
+    if method == "ab4":
+        return generate_latents_ab4(apply_fn, shape, rng, n_steps=n_steps,
+                                    init_latents=init_latents,
+                                    init_strength=init_strength, **common)
     if method in ("heun", "midpoint"):
         return generate_latents_second_order(
             apply_fn, shape, rng, n_steps=n_steps, init_latents=init_latents,

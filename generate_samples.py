@@ -217,7 +217,7 @@ def create_gradio_interface(config):
             n_samples = gr.Slider(1, 256, value=16, step=1, label="samples")
             cfg_s = gr.Slider(0, 10, value=3.0, step=0.5, label="CFG strength")
         with gr.Row():
-            method = gr.Radio(["rk4", "heun", "midpoint", "euler", "rk45"], value="rk4",
+            method = gr.Radio(["rk4", "heun", "midpoint", "ab4", "euler", "rk45"], value="rk4",
                               label="integrator")
             steps = gr.Slider(4, 200, value=int(ldcfg(config, "n_steps", 100)),
                               step=1, label="steps")

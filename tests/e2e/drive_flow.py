@@ -86,6 +86,18 @@ lat45, nfe45 = generate_latents(samp_apply, (8, H, H, C), jax.random.PRNGKey(4),
                                 method="rk45", cond=None, cfg_strength=0.0)
 print(f"   rk45 nfe={int(nfe45)}, mean={float(lat45.mean()):.2f}")
 
+print("== 6b. AB4 multistep sampler (CFG) matches RK4's class separation ==")
+lat_ab, nfe_ab = jax.jit(lambda rng: generate_latents(
+    samp_apply, (32, H, H, C), rng, method="ab4", n_steps=25,
+    cond=cond, cfg_strength=2.0))(jax.random.PRNGKey(3))
+m0ab = float(lat_ab[:16].mean()); m1ab = float(lat_ab[16:].mean())
+print(f"   ab4 nfe={int(nfe_ab)} (rk4 was {int(nfe)})  "
+      f"class0 mean={m0ab:.2f}  class1 mean={m1ab:.2f}")
+assert m0ab < -0.5 and m1ab > 0.5, "ab4 samples not class-separated"
+assert abs(m0ab - m0) < 0.2 and abs(m1ab - m1) < 0.2, \
+    "ab4 diverged from rk4 on the same trained field"
+assert int(nfe_ab) < int(nfe) // 2, "ab4 NFE saving missing"
+
 print("== 7. checkpoint save/load roundtrip ==")
 from flocoder_tpu.training.checkpoint import save_checkpoint, load_checkpoint, load_into_tree, latest_checkpoint
 import tempfile

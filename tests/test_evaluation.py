@@ -115,3 +115,27 @@ def test_evaluate_model_fused_params(tmp_path):
                              params={"a": jnp.asarray(0.5)})
     for key in ("FID_px", "sinkhorn", "mse"):
         assert key in metrics and np.isfinite(metrics[key])
+
+
+def test_sampler_fused_ab4_matches_eager():
+    """method='ab4' routes through the fused generate+decode executable and
+    matches the eager generate_latents path bit-for-bit (same key)."""
+    import flocoder_tpu.evaluation as ev
+    from flocoder_tpu.sampling import generate_latents
+
+    codec = NoOpAE()
+    apply_p = lambda p, x, t, c: p["a"] - x
+    params = {"a": jnp.asarray(0.5)}
+    lat, dec, nfe = ev.sampler(apply_p, codec, {}, jax.random.PRNGKey(7),
+                               batch_size=4, n_steps=8,
+                               latent_shape=(4, 4, 3), cfg_strength=0.0,
+                               n_classes=0, method="ab4", params=params)
+    assert int(nfe) == 12 + (7 - 3)
+    # eager reference: same split discipline as sampler (k_init, k_gen, k_cls)
+    _, k_gen, _ = jax.random.split(jax.random.PRNGKey(7), 3)
+    lat_ref, _ = generate_latents(lambda x, t, c: params["a"] - x,
+                                  (4, 4, 4, 3), k_gen, method="ab4",
+                                  n_steps=8, cfg_strength=0.0)
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(lat_ref),
+                               atol=1e-6)
+    assert np.isfinite(np.asarray(dec)).all()

@@ -1,4 +1,5 @@
 """Unit tests for sampling math vs closed forms (SURVEY.md §4 test strategy)."""
+import math
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -117,13 +118,79 @@ def test_second_order_steps_order_and_accuracy():
 
 def test_generate_latents_dispatch():
     rng = jax.random.PRNGKey(2)
-    for method in ("rk4", "euler", "heun", "midpoint", "rk45"):
+    for method in ("rk4", "euler", "heun", "midpoint", "ab4", "rk45"):
         x, nfe = generate_latents(_linear_field, (2, 2, 2, 1), rng,
                                   method=method, n_steps=10,
                                   cfg_strength=0.0, t_scale=1.0)
         assert x.shape == (2, 2, 2, 1)
         if method in ("heun", "midpoint"):
             assert int(nfe) == 9 * 2
+        if method == "ab4":
+            assert int(nfe) == 12 + (9 - 3)
+
+
+def test_ab4_exact_on_cubic_velocity():
+    """AB4 integrates any x-independent velocity that is cubic in t EXACTLY
+    (the 4-point interpolation is the integrand), even on the warped
+    non-uniform grid — this pins the variable-step coefficient solve
+    (sampling._ab4_coefficients)."""
+    from flocoder_tpu.sampling import generate_latents_ab4
+
+    def v(x, t_vec, cond):
+        t = t_vec[0].astype(jnp.float64) if t_vec.dtype == jnp.float64 \
+            else t_vec[0]
+        return jnp.ones_like(x) * (2.0 - 3.0 * t + 4.0 * t ** 2 + t ** 3)
+
+    # exact integral over [0,1]: 2 - 3/2 + 4/3 + 1/4
+    exact = 2.0 - 1.5 + 4.0 / 3.0 + 0.25
+    rng = jax.random.PRNGKey(0)
+    x, nfe = generate_latents_ab4(v, (2, 4, 4, 1), rng, n_steps=12,
+                                  cfg_strength=0.0, t_scale=1.0,
+                                  warp_s=0.5)
+    x0 = jax.random.normal(jax.random.split(rng)[0], (2, 4, 4, 1),
+                           jnp.float32)
+    err = float(jnp.max(jnp.abs(x - x0 - exact)))
+    assert err < 5e-5, err
+    assert int(nfe) == 12 + (11 - 3)
+
+
+def test_ab4_order_on_exponential_decay():
+    """On dx/dt = -x, AB4 must beat Heun at equal steps and approach the
+    RK4 answer; halving dt should cut the error ~16x (4th order)."""
+    from flocoder_tpu.sampling import generate_latents_ab4, \
+        generate_latents_second_order
+
+    def v(x, t_vec, cond):
+        return -x
+
+    exact = math.exp(-1.0)
+
+    def run(fn, n, **kw):
+        rng = jax.random.PRNGKey(1)
+        x, _ = fn(v, (1, 2, 2, 1), rng, n_steps=n, cfg_strength=0.0,
+                  t_scale=1.0, warp_s=1.0, **kw)
+        x0 = jax.random.normal(jax.random.split(rng)[0], (1, 2, 2, 1),
+                               jnp.float32)
+        return float(jnp.mean(x / x0))
+
+    err_ab_10 = abs(run(generate_latents_ab4, 11) - exact)
+    err_ab_20 = abs(run(generate_latents_ab4, 21) - exact)
+    err_heun = abs(run(generate_latents_second_order, 11) - exact)
+    assert err_ab_10 < err_heun
+    ratio = err_ab_10 / max(err_ab_20, 1e-12)
+    assert ratio > 8.0, (err_ab_10, err_ab_20)  # ≥~4th-order shrinkage
+
+
+def test_ab4_small_grid_falls_back_to_rk4():
+    from flocoder_tpu.sampling import generate_latents_ab4
+
+    def v(x, t_vec, cond):
+        return -x
+
+    x, nfe = generate_latents_ab4(v, (1, 2, 2, 1), jax.random.PRNGKey(0),
+                                  n_steps=3, cfg_strength=0.0, t_scale=1.0)
+    assert int(nfe) == 2 * 4
+    assert bool(jnp.isfinite(x).all())
 
 
 def test_cfg_velocity_mixing():
