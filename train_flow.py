@@ -354,7 +354,10 @@ def train_flow(config):
                 mask_pixels=(jnp.asarray(vb["mask_pixels"])
                              if inpainting and "mask_pixels" in vb else None),
                 batch_size=min(batch_size, 256), n_classes=n_classes,
-                method="rk4", n_steps=n_steps_eval,
+                # eval_method: rk4 (reference default) | heun | midpoint |
+                # ab4 | euler — ab4 cuts eval NFE ~3x at matching accuracy
+                method=str(ldcfg(config, "eval_method", "rk4")),
+                n_steps=n_steps_eval,
                 cfg_strength=cfg_strength, is_midi=is_midi,
                 keep_gray=keep_gray, cb_tracker=cb_tracker,
                 codec_quantize=codec_quantize, use_wandb=use_wandb,
