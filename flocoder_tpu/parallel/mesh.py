@@ -32,8 +32,20 @@ __all__ = [
     "host_device_count", "maybe_init_distributed", "P", "Mesh",
     "DATA_AXIS", "MODEL_AXIS", "DCN_AXIS", "batch_axis_names",
     "fsdp_param_shardings", "shard_state", "pmean_typed",
-    "tp_param_shardings", "shard_state_tp",
+    "tp_param_shardings", "shard_state_tp", "shard_map",
 ]
+
+# jax ≥0.8 promotes shard_map to the stable namespace (renaming the
+# replication-check kwarg check_rep → check_vma) and deprecates the
+# jax.experimental home; resolve once here so call sites stay warning-free
+# and API-compatible on both.
+if hasattr(jax, "shard_map"):
+    def shard_map(f, *args, check_rep=None, **kwargs):
+        if check_rep is not None and "check_vma" not in kwargs:
+            kwargs["check_vma"] = check_rep
+        return jax.shard_map(f, *args, **kwargs)
+else:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"

@@ -182,7 +182,7 @@ def make_ring_self_attention(mesh: Mesh, axis: str = MODEL_AXIS):
     This is the drop-in sequence-parallel form of the bottleneck attention
     einsum pair (models/unet.py:Attention): same math, but the sequence
     never materializes on one device and K/V travel the ICI ring."""
-    from jax.experimental.shard_map import shard_map
+    from flocoder_tpu.parallel.mesh import shard_map
 
     axis_size = mesh.shape[axis]
     spec = P(None, axis, None, None)

@@ -317,7 +317,7 @@ def make_flow_train_step(model_apply: Callable, tx,
             return state, aux
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from flocoder_tpu.parallel.mesh import shard_map
         from jax.sharding import PartitionSpec as P
         batch_spec = (P(None, axis_name) if steps_per_call > 1
                       else P(axis_name))

@@ -81,7 +81,7 @@ def _mesh_wrap(step_fn, mesh, axis_name, donate):
     VQ indices returned sharded. Gradients/metrics are pmean'd and RVQ stats
     psum'd INSIDE step_fn (axis_name is threaded), so state outputs are
     replicated by construction."""
-    from jax.experimental.shard_map import shard_map
+    from flocoder_tpu.parallel.mesh import shard_map
     from jax.sharding import PartitionSpec as P
     sharded = shard_map(
         step_fn, mesh=mesh,

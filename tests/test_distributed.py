@@ -35,7 +35,7 @@ def test_rvq_psum_equals_single_device(mesh):
     communication requirement."""
     if mesh.size < 2:
         pytest.skip("needs multiple devices")
-    from jax.experimental.shard_map import shard_map
+    from flocoder_tpu.parallel.mesh import shard_map
 
     K, D, L, N = 8, 4, 2, 64
     state = rvq_init(jax.random.PRNGKey(0), L, K, D)
