@@ -35,6 +35,16 @@ _PEAK_BF16_FLOPS = (
     ("v4", 275e12),
 )
 
+# HBM bandwidth per chip (public spec sheets) for the roofline counterpart
+# to MFU: small-model steps are bandwidth-bound, so hbm_util_pct is the
+# honest utilization number where mfu_pct reads near zero.
+_PEAK_HBM_BYTES = (
+    ("v6", 1638e9),     # Trillium / v6e
+    ("v5p", 2765e9),
+    ("v5", 819e9),      # v5e / v5 lite
+    ("v4", 1228e9),
+)
+
 
 def _chip_peak_flops():
     import jax
@@ -45,18 +55,33 @@ def _chip_peak_flops():
     return 197e12, kind  # conservative v5e-class default
 
 
-def _flops_of(jitted, *args):
-    """Analytic FLOPs of one executable via XLA's compiled cost analysis;
-    None when the backend doesn't report it."""
+def _chip_peak_hbm():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for key, bw in _PEAK_HBM_BYTES:
+        if key in kind:
+            return bw
+    return 819e9  # conservative v5e-class default
+
+
+def _cost_of(jitted, *args):
+    """XLA compiled cost analysis for one executable ({} when the backend
+    doesn't report it)."""
     try:
         c = jitted.lower(*args).compile().cost_analysis()
         if isinstance(c, (list, tuple)):
             c = c[0] if c else {}
-        f = float(c.get("flops", -1.0))
-        return f if f > 0 else None
+        return dict(c) if c else {}
     except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-        return None
+        return {}
+
+
+def _flops_of(jitted, *args):
+    """Analytic FLOPs of one executable via XLA's compiled cost analysis;
+    None when the backend doesn't report it."""
+    f = float(_cost_of(jitted, *args).get("flops", -1.0))
+    return f if f > 0 else None
 
 
 def _mfu_pct(flops_per_call, calls_per_sec, peak):
@@ -147,9 +172,12 @@ def _bench_flow_train(dtype=None, B: int = 256):
         "target": rng.standard_normal((K, B, H, H, C)).astype(np.float32),
         "class_cond": rng.integers(0, n_classes, (K, B)).astype(np.int32),
     }, axis=1)
-    flops_per_step = _flops_of(step, state, batch, jax.random.PRNGKey(0))
-    if flops_per_step:
-        flops_per_step /= K  # the executable runs K optimizer steps
+    cost = _cost_of(step, state, batch, jax.random.PRNGKey(0))
+    flops_per_step = float(cost.get("flops", -1.0))
+    # the executable runs K optimizer steps → per-step figures
+    flops_per_step = flops_per_step / K if flops_per_step > 0 else None
+    bytes_per_step = float(cost.get("bytes accessed", -1.0))
+    bytes_per_step = bytes_per_step / K if bytes_per_step > 0 else None
     state, aux = step(state, batch, jax.random.PRNGKey(0))  # compile
     float(aux["loss"])
     # trial 0 is sacrificial: absorbs the one-time ~30-40 s program load
@@ -166,7 +194,7 @@ def _bench_flow_train(dtype=None, B: int = 256):
     times = sorted(times[1:])
     per_step = times[len(times) // 2]
     del state, batch, params
-    return B / per_step, flops_per_step, per_step
+    return B / per_step, flops_per_step, bytes_per_step
 
 
 def _bench_sampler_and_codecs():
@@ -335,7 +363,11 @@ def _bench_vqgan_gan_step(dtype=None):
 
     x = jnp.asarray(np.random.default_rng(2).standard_normal(
         (B, S, S, 3)).astype(np.float32) * 0.5)
-    flops = _flops_of(step, state, x, jax.random.PRNGKey(3))
+    cost = _cost_of(step, state, x, jax.random.PRNGKey(3))
+    flops = float(cost.get("flops", -1.0))
+    flops = flops if flops > 0 else None
+    nbytes = float(cost.get("bytes accessed", -1.0))
+    nbytes = nbytes if nbytes > 0 else None
     state, aux, _ = step(state, x, jax.random.PRNGKey(3))  # compile+init
     float(aux["total"])
     times = []
@@ -349,7 +381,7 @@ def _bench_vqgan_gan_step(dtype=None):
     times = sorted(times[1:])
     per_step = times[len(times) // 2]
     del state, params, disc_vars
-    return B / per_step, flops, per_step
+    return B / per_step, flops, per_step, nbytes
 
 
 def _bench_sampler_batch_sweep():
@@ -414,8 +446,8 @@ def _run():
     # bf16 compute beats fp32 on the train step on a clean host
     # (benchmarks/bf16_profile.py, docs/BENCH_NOTES.md round-2 section);
     # measure both and headline the better one.
-    sps_fp32, flops_fp32, _ = _bench_flow_train(jnp.float32)
-    sps_bf16, flops_bf16, _ = _bench_flow_train(jnp.bfloat16)
+    sps_fp32, flops_fp32, bytes_fp32 = _bench_flow_train(jnp.float32)
+    sps_bf16, flops_bf16, bytes_bf16 = _bench_flow_train(jnp.bfloat16)
     samples_per_sec = max(sps_fp32, sps_bf16)
     extra = _bench_sampler_and_codecs()
     extra["flow_train_fp32_samples_per_sec"] = round(sps_fp32, 1)
@@ -434,27 +466,44 @@ def _run():
     if flops_bf16:
         extra["flow_train_bf16_mfu_pct"] = _mfu_pct(
             flops_bf16, sps_bf16 / B_flow, peak)
+    # roofline counterpart: the dim=16 step moves far more bytes than it
+    # computes, so HBM-bandwidth utilization is its honest ceiling metric
+    hbm_bw = _chip_peak_hbm()
+    if bytes_bf16:
+        extra["flow_train_bf16_hbm_util_pct"] = _mfu_pct(
+            bytes_bf16, sps_bf16 / B_flow, hbm_bw)
+        extra["flow_train_bf16_gbytes_per_step"] = round(bytes_bf16 / 1e9, 3)
+    if bytes_fp32:
+        extra["flow_train_fp32_hbm_util_pct"] = _mfu_pct(
+            bytes_fp32, sps_fp32 / B_flow, hbm_bw)
 
     try:
         # batch-scaling row: the dim=16 U-Net at B=256 is dispatch/HBM-bound;
         # B=1024 shows what the step sustains when the chip is actually fed
         # (headline stays B=256 = the reference flowers_sd config).
-        sps_b1k, flops_b1k, _ = _bench_flow_train(jnp.bfloat16, B=1024)
+        sps_b1k, flops_b1k, bytes_b1k = _bench_flow_train(jnp.bfloat16,
+                                                          B=1024)
         extra["flow_train_bf16_b1024_samples_per_sec"] = round(sps_b1k, 1)
         if flops_b1k:
             extra["flow_train_bf16_b1024_mfu_pct"] = _mfu_pct(
                 flops_b1k, sps_b1k / 1024, peak)
+        if bytes_b1k:
+            extra["flow_train_bf16_b1024_hbm_util_pct"] = _mfu_pct(
+                bytes_b1k, sps_b1k / 1024, hbm_bw)
     except Exception as e:  # noqa: BLE001
         print(f"flow b1024 bench failed: {e}", file=sys.stderr)
 
     try:
-        g_sps, g_flops, g_dt = _bench_vqgan_gan_step(jnp.bfloat16)
+        g_sps, g_flops, g_dt, g_bytes = _bench_vqgan_gan_step(jnp.bfloat16)
         extra["vqgan_gan_step_samples_per_sec"] = round(g_sps, 1)
         extra["vqgan_gan_step_ms"] = round(g_dt * 1e3, 2)
         if g_flops:
             extra["vqgan_gan_step_mfu_pct"] = _mfu_pct(g_flops, 1 / g_dt,
                                                        peak)
             extra["vqgan_gan_step_gflops"] = round(g_flops / 1e9, 1)
+        if g_bytes:
+            extra["vqgan_gan_step_hbm_util_pct"] = _mfu_pct(
+                g_bytes, 1 / g_dt, hbm_bw)
     except Exception as e:  # noqa: BLE001
         print(f"vqgan gan-step bench failed: {e}", file=sys.stderr)
 
