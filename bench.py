@@ -46,22 +46,23 @@ _PEAK_HBM_BYTES = (
 )
 
 
-def _chip_peak_flops():
+def _chip_lookup(table, default):
+    """First substring match of the device kind in a (key, value) table —
+    entry order matters ('v5p' must precede 'v5')."""
     import jax
     kind = jax.devices()[0].device_kind.lower()
-    for key, peak in _PEAK_BF16_FLOPS:
+    for key, val in table:
         if key in kind:
-            return peak, kind
-    return 197e12, kind  # conservative v5e-class default
+            return val, kind
+    return default, kind  # conservative v5e-class default
+
+
+def _chip_peak_flops():
+    return _chip_lookup(_PEAK_BF16_FLOPS, 197e12)
 
 
 def _chip_peak_hbm():
-    import jax
-    kind = jax.devices()[0].device_kind.lower()
-    for key, bw in _PEAK_HBM_BYTES:
-        if key in kind:
-            return bw
-    return 819e9  # conservative v5e-class default
+    return _chip_lookup(_PEAK_HBM_BYTES, 819e9)[0]
 
 
 def _cost_of(jitted, *args):
@@ -75,13 +76,6 @@ def _cost_of(jitted, *args):
     except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
         return {}
-
-
-def _flops_of(jitted, *args):
-    """Analytic FLOPs of one executable via XLA's compiled cost analysis;
-    None when the backend doesn't report it."""
-    f = float(_cost_of(jitted, *args).get("flops", -1.0))
-    return f if f > 0 else None
 
 
 def _mfu_pct(flops_per_call, calls_per_sec, peak):
@@ -417,9 +411,10 @@ def _bench_sampler_batch_sweep():
         sweep[f"e2e_sampler_b{B}_samples_per_sec"] = round(
             B / _timed_scan(body, K=2, reps=2), 1)
 
-    # low-NFE serving rows at the saturation batch: heun-25 (100 NFE) and
-    # ab4-25 (33 NFE: RK4 bootstrap then 1 eval/step) vs rk4-50's 400 NFE —
-    # OT-straightened flow paths keep high-order accuracy at few evals
+    # low-NFE serving rows at the saturation batch (model evals before CFG
+    # doubling, n_steps-1 intervals): heun-25 = 48, ab4-25 = 33 (RK4
+    # bootstrap then 1 eval/step) vs rk4-50's 196 — OT-straightened flow
+    # paths keep high-order accuracy at few evals
     B = 64
     cls = jnp.arange(B, dtype=jnp.int32) % n_classes
     for method, steps in (("heun", 25), ("ab4", 25)):
@@ -446,8 +441,11 @@ def _run():
     # bf16 compute beats fp32 on the train step on a clean host
     # (benchmarks/bf16_profile.py, docs/BENCH_NOTES.md round-2 section);
     # measure both and headline the better one.
-    sps_fp32, flops_fp32, bytes_fp32 = _bench_flow_train(jnp.float32)
-    sps_bf16, flops_bf16, bytes_bf16 = _bench_flow_train(jnp.bfloat16)
+    B_flow = 256  # the reference flowers_sd batch — the headline config
+    sps_fp32, flops_fp32, bytes_fp32 = _bench_flow_train(jnp.float32,
+                                                         B=B_flow)
+    sps_bf16, flops_bf16, bytes_bf16 = _bench_flow_train(jnp.bfloat16,
+                                                         B=B_flow)
     samples_per_sec = max(sps_fp32, sps_bf16)
     extra = _bench_sampler_and_codecs()
     extra["flow_train_fp32_samples_per_sec"] = round(sps_fp32, 1)
@@ -456,7 +454,6 @@ def _run():
     # against the chip's dense-bf16 peak — the dim=16 flow U-Net is tiny, so
     # its MFU is expected to be low; the 128² VQGAN GAN step below is the
     # utilization-bearing workload.
-    B_flow = 256
     extra["chip"] = chip
     extra["peak_bf16_tflops"] = round(peak / 1e12, 1)
     if flops_fp32:
