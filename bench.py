@@ -18,6 +18,7 @@ Prints ONE final JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -135,7 +136,8 @@ def _timed_scan(body, K: int = 4, reps: int = 3):
     return sorted(times)[len(times) // 2]
 
 
-def _bench_flow_train(dtype=None, B: int = 256):
+def _bench_flow_train(dtype=None, B: int = 256, K: int = 60,
+                      trials: int = 4, n_disp: int = 3):
     import jax
     import jax.numpy as jnp
     from flocoder_tpu.models.unet import Unet
@@ -158,7 +160,6 @@ def _bench_flow_train(dtype=None, B: int = 256):
     # steps_per_call machinery) — one dispatch+block brackets K serialized
     # optimizer steps; immune to the tunnel's completion-signal distortions
     # (docs/BENCH_NOTES.md round-2 timing trap).
-    K = 60
     step = make_flow_train_step(lambda p, x, t, c: model.apply(p, x, t, c),
                                 tx, steps_per_call=K)
     rng = np.random.default_rng(0)
@@ -177,15 +178,14 @@ def _bench_flow_train(dtype=None, B: int = 256):
     # trial 0 is sacrificial: absorbs the one-time ~30-40 s program load
     # the warmup fetch does not force (docs/BENCH_NOTES.md timing trap)
     times = []
-    for trial in range(4):
-        n_disp = 3
+    for trial in range(trials):
         t0 = time.perf_counter()
         for r in range(n_disp):
             state, aux = step(state, batch,
-                              jax.random.PRNGKey(10 + 3 * trial + r))
+                              jax.random.PRNGKey(10 + n_disp * trial + r))
         float(aux["loss"])      # value fetch = true completion barrier
         times.append((time.perf_counter() - t0) / (n_disp * K))
-    times = sorted(times[1:])
+    times = sorted(times[1:]) if len(times) > 1 else times
     per_step = times[len(times) // 2]
     del state, batch, params
     return B / per_step, flops_per_step, bytes_per_step
@@ -441,13 +441,18 @@ def _run():
     # bf16 compute beats fp32 on the train step on a clean host
     # (benchmarks/bf16_profile.py, docs/BENCH_NOTES.md round-2 section);
     # measure both and headline the better one.
-    B_flow = 256  # the reference flowers_sd batch — the headline config
+    # FC_BENCH_SMOKE=1: exercise the headline code path end-to-end at toy
+    # sizes (CI / CPU guard against bench rot); numbers are meaningless.
+    smoke = bool(int(os.environ.get("FC_BENCH_SMOKE", "0")))
+    B_flow = 8 if smoke else 256  # 256 = reference flowers_sd headline batch
+    size = dict(B=B_flow, K=2, trials=2, n_disp=1) if smoke \
+        else dict(B=B_flow)
     sps_fp32, flops_fp32, bytes_fp32 = _bench_flow_train(jnp.float32,
-                                                         B=B_flow)
+                                                         **size)
     sps_bf16, flops_bf16, bytes_bf16 = _bench_flow_train(jnp.bfloat16,
-                                                         B=B_flow)
+                                                         **size)
     samples_per_sec = max(sps_fp32, sps_bf16)
-    extra = _bench_sampler_and_codecs()
+    extra = {} if smoke else _bench_sampler_and_codecs()
     extra["flow_train_fp32_samples_per_sec"] = round(sps_fp32, 1)
     extra["flow_train_bf16_samples_per_sec"] = round(sps_bf16, 1)
     # FLOP/MFU accounting (VERDICT r2 #3): XLA-counted FLOPs per executable
@@ -473,6 +478,18 @@ def _run():
     if bytes_fp32:
         extra["flow_train_fp32_hbm_util_pct"] = _mfu_pct(
             bytes_fp32, sps_fp32 / B_flow, hbm_bw)
+
+    if smoke:
+        extra["smoke"] = True
+        print(json.dumps({
+            "metric": "flow_train_throughput",
+            "value": round(samples_per_sec, 1),
+            "unit": "samples/sec/chip",
+            "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC,
+                                 3),
+            "extra": extra,
+        }))
+        return
 
     try:
         # batch-scaling row: the dim=16 U-Net at B=256 is dispatch/HBM-bound;
