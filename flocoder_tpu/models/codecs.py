@@ -540,7 +540,10 @@ def setup_codec(config, load_checkpoint: bool = True,
                                                           image_size))
     if choice == "sd":
         from .sd_vae import SDVAE
-        return SDVAE(image_size=image_size)
+        return SDVAE(image_size=image_size,
+                     dtype=(jnp.bfloat16 if bool(ldcfg(config, "bf16",
+                                                       False))
+                            else jnp.float32))
     if choice in ("vqgan", "vqgan_plus"):
         kw = dict(
             dtype=(jnp.bfloat16 if bool(ldcfg(config, "bf16", False))

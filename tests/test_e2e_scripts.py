@@ -190,6 +190,16 @@ def test_generate_samples_script(tmp_path, monkeypatch):
     img = Image.open(out / singles[0])
     assert img.size == (8, 8)
 
+    # +bf16=true serving path: U-Net (and codec, where parameterized) run
+    # in bfloat16 compute; same outputs written
+    gen_bf16 = config_from_dict({
+        "n_samples": 2, "batch_size": 2, "n_steps": 3, "method": "euler",
+        "seed": 0, "bf16": True, "output_dir": str(tmp_path / "out_bf16"),
+    })
+    script._MODEL_CACHE.clear()
+    script.generate_samples(gen_bf16)
+    assert len(list((tmp_path / "out_bf16").glob("sample_*.png"))) == 2
+
 
 def test_evaluate_model_script(tmp_path, monkeypatch):
     """Drive evaluate_model.main() through its real CLI surface: checkpoint
