@@ -30,36 +30,76 @@ __all__ = ["decode_latents", "sampler", "evaluate_model", "make_e2e_sampler"]
 _fused_cache: dict = {}
 
 
+def _mesh_shards(mesh):
+    """(batch axis names, number of batch shards) of a mesh; (None, 1) for
+    no/degenerate mesh."""
+    if mesh is None or mesh.size == 1:
+        return None, 1
+    from .parallel.mesh import batch_axis_names
+    names = batch_axis_names(mesh)
+    n = 1
+    for a in (names if isinstance(names, tuple) else (names,)):
+        n *= mesh.shape[a]
+    return names, n
+
+
 def _get_fused_sampler(model_apply_p: Callable, codec, *, shape, method,
                        n_steps, cfg_strength, has_class, has_mask,
                        has_source, has_init, init_strength, is_midi,
-                       keep_gray):
+                       keep_gray, mesh=None):
+    names, n_shards = _mesh_shards(mesh)
+    if shape[0] % n_shards:   # partial batch can't split evenly → 1 device
+        names, n_shards = None, 1
     key = (id(model_apply_p), id(codec), tuple(shape), method, n_steps,
            float(cfg_strength), has_class, has_mask, has_source, has_init,
-           float(init_strength), is_midi, keep_gray)
+           float(init_strength), is_midi, keep_gray,
+           id(mesh) if n_shards > 1 else None)
     f = _fused_cache.get(key)
     if f is not None:
         return f
 
-    def fused(params, codec_params, rng, class_cond, mask_cond, source,
-              init_latents):
-        cond = None
-        if has_class or has_mask:
-            cond = {"class_cond": class_cond if has_class else None,
-                    "mask_cond": mask_cond if has_mask else None}
-        latents, _ = generate_latents(
-            lambda x, t, c: model_apply_p(params, x, t, c), shape, rng,
-            method=method, n_steps=n_steps, cond=cond,
-            cfg_strength=cfg_strength,
-            source=source if has_source else None,
-            init_latents=init_latents if has_init else None,
-            init_strength=init_strength)
-        dec = codec.decode(codec_params, latents)
-        if is_midi:
-            dec = g2rgb(dec, keep_gray=keep_gray)
-        return latents, dec
+    def make_fused(local_shape, fold_axes=()):
+        def fused(params, codec_params, rng, class_cond, mask_cond, source,
+                  init_latents):
+            for a in fold_axes:
+                # independent noise per batch shard
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(a))
+            cond = None
+            if has_class or has_mask:
+                cond = {"class_cond": class_cond if has_class else None,
+                        "mask_cond": mask_cond if has_mask else None}
+            latents, _ = generate_latents(
+                lambda x, t, c: model_apply_p(params, x, t, c), local_shape,
+                rng, method=method, n_steps=n_steps, cond=cond,
+                cfg_strength=cfg_strength,
+                source=source if has_source else None,
+                init_latents=init_latents if has_init else None,
+                init_strength=init_strength)
+            dec = codec.decode(codec_params, latents)
+            if is_midi:
+                dec = g2rgb(dec, keep_gray=keep_gray)
+            return latents, dec
+        return fused
 
-    f = jax.jit(fused)
+    if n_shards == 1:
+        f = jax.jit(make_fused(tuple(shape)))
+    else:
+        # sharded serving: params/codec replicated, every batch-shaped
+        # operand split over the mesh batch axes, zero collectives inside
+        # (sample generation is embarrassingly data-parallel)
+        from .parallel.mesh import P, shard_map
+        local = (shape[0] // n_shards,) + tuple(shape[1:])
+        bspec = P(names)
+        f = jax.jit(shard_map(
+            make_fused(local, fold_axes=(names if isinstance(names, tuple)
+                                         else (names,))),
+            mesh=mesh,
+            in_specs=(P(), P(), P(),
+                      bspec if has_class else P(),
+                      bspec if has_mask else P(),
+                      bspec if has_source else P(),
+                      bspec if has_init else P()),
+            out_specs=(bspec, bspec), check_rep=False))
     _fused_cache[key] = f
     return f
 
@@ -80,7 +120,8 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
             cond: Optional[dict] = None, n_classes: int = 0,
             latent_shape=(16, 16, 4), cfg_strength: float = 3.0,
             is_midi: bool = False, keep_gray: bool = False, source=None,
-            init_image=None, init_strength: float = 0.0, params=None):
+            init_image=None, init_strength: float = 0.0, params=None,
+            mesh=None):
     """Generate predicted latents and decode them
     (reference: sampling.py:186-229). latent_shape is (H, W, C) NHWC.
     Returns (pred_latents, decoded_pred, nfe).
@@ -131,7 +172,7 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
             cfg_strength=cfg_strength, has_class=cls is not None,
             has_mask=msk is not None, has_source=source is not None,
             has_init=init_latents is not None, init_strength=init_strength,
-            is_midi=is_midi, keep_gray=keep_gray)
+            is_midi=is_midi, keep_gray=keep_gray, mesh=mesh)
         pred_latents, decoded = fused(params, codec_params, k_gen, cls, msk,
                                       source, init_latents)
         # n_steps grid points → n_steps-1 integration intervals
@@ -160,7 +201,7 @@ def evaluate_model(model_apply: Callable, codec, codec_params, epoch: int,
                    cb_tracker=None, codec_quantize: Optional[Callable] = None,
                    use_wandb: bool = True, output_dir: str = "./",
                    source=None, mask_pixels=None, feature_fn=None,
-                   params=None) -> dict:
+                   params=None, mesh=None) -> dict:
     """Sample, decode, compute metrics, track codebook usage, save grids
     (reference: sampling.py:233-322). Pass ``params`` (with a stable
     ``model_apply(params, x, t, cond)``) to route sampling through the
@@ -172,7 +213,7 @@ def evaluate_model(model_apply: Callable, codec, codec_params, epoch: int,
         batch_size=batch_size, n_steps=n_steps, cond=cond,
         n_classes=n_classes, latent_shape=latent_shape,
         cfg_strength=cfg_strength, is_midi=is_midi, keep_gray=keep_gray,
-        source=source, params=params)
+        source=source, params=params, mesh=mesh)
 
     decoded_target = decode_latents(codec, codec_params,
                                     target_latents[:batch_size],
@@ -230,7 +271,7 @@ def make_e2e_sampler(model_apply_p: Callable, codec, latent_shape,
                      batch_size: int, method: str = "rk4",
                      n_steps: int = 50, cfg_strength: float = 3.0,
                      n_classes: int = 0, t_scale: float = 999.0,
-                     warp_s: float = 0.5):
+                     warp_s: float = 0.5, mesh=None):
     """Build ONE jitted end-to-end serving function
     ``f(params, codec_params, rng, class_cond) -> (latents, images)`` fusing
     the full RK4 scan and the codec decode into a single XLA executable — the
@@ -238,18 +279,38 @@ def make_e2e_sampler(model_apply_p: Callable, codec, latent_shape,
     per step and decodes in a separate chunked loop, sampling.py:116-117,
     169-183). ``model_apply_p(params, x, t, cond)``. Params are arguments,
     not closure constants, so weight updates don't retrace and the executable
-    stays small."""
+    stays small.
 
-    def f(params, codec_params, rng, class_cond):
-        cond = None
-        if n_classes > 0:
-            cond = {"class_cond": class_cond, "mask_cond": None}
-        latents, _ = generate_latents(
-            lambda x, t, c: model_apply_p(params, x, t, c),
-            (batch_size,) + tuple(latent_shape), rng,
-            method=method, n_steps=n_steps, cond=cond,
-            cfg_strength=cfg_strength, t_scale=t_scale)
-        images = codec.decode(codec_params, latents)
-        return latents, images
+    ``mesh``: with a >1-device mesh (batch_size divisible by its batch
+    shards), the sampler runs under shard_map — params replicated, the batch
+    split over the data axes, each shard drawing independent noise; serving
+    scales linearly over chips with zero collectives."""
+    names, n_shards = _mesh_shards(mesh)
+    if batch_size % n_shards:
+        names, n_shards = None, 1
 
-    return jax.jit(f)
+    def make_f(local_b, fold_axes=()):
+        def f(params, codec_params, rng, class_cond):
+            for a in fold_axes:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(a))
+            cond = None
+            if n_classes > 0:
+                cond = {"class_cond": class_cond, "mask_cond": None}
+            latents, _ = generate_latents(
+                lambda x, t, c: model_apply_p(params, x, t, c),
+                (local_b,) + tuple(latent_shape), rng,
+                method=method, n_steps=n_steps, cond=cond,
+                cfg_strength=cfg_strength, t_scale=t_scale)
+            images = codec.decode(codec_params, latents)
+            return latents, images
+        return f
+
+    if n_shards == 1:
+        return jax.jit(make_f(batch_size))
+    from .parallel.mesh import P, shard_map
+    bspec = P(names)
+    return jax.jit(shard_map(
+        make_f(batch_size // n_shards,
+               fold_axes=(names if isinstance(names, tuple) else (names,))),
+        mesh=mesh, in_specs=(P(), P(), P(), bspec),
+        out_specs=(bspec, bspec), check_rep=False))

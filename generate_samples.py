@@ -142,6 +142,14 @@ def generate_samples(config):
     apply_p = lambda p, x, t, c: model.apply(p, x, t, c)
     key = jax.random.PRNGKey(int(config.get("seed", 0)))
 
+    # multi-chip host: serve under shard_map over the data mesh axes (the
+    # sampler falls back to one device for partial batches that don't split)
+    from flocoder_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+    serve_mesh = mesh if mesh.size > 1 else None
+    if serve_mesh is not None:
+        print(f"serving over {mesh.size} devices ({dict(mesh.shape)})")
+
     # +class_cond=N samples a single class; default is the 10-column class
     # grid (when the model is class-conditional)
     fixed_class = config.get("class_cond", None)
@@ -161,7 +169,7 @@ def generate_samples(config):
             batch_size=bs, n_steps=n_steps, cond=cond,
             n_classes=b["n_classes"], latent_shape=b["latent_shape"],
             cfg_strength=cfg_strength, is_midi=is_midi, keep_gray=keep_gray,
-            params=params["model"])
+            params=params["model"], mesh=serve_mesh)
         decoded = np.asarray(decoded)
         dt = time.time() - t0
         print(f"batch {batch_idx}: {bs} samples, nfe={int(nfe)}, "

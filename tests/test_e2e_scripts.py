@@ -200,6 +200,16 @@ def test_generate_samples_script(tmp_path, monkeypatch):
     script.generate_samples(gen_bf16)
     assert len(list((tmp_path / "out_bf16").glob("sample_*.png"))) == 2
 
+    # sharded serving: batch 8 divides the conftest's 8-device mesh, so the
+    # script's serve_mesh branch runs the fused sampler under shard_map
+    gen_mesh = config_from_dict({
+        "n_samples": 8, "batch_size": 8, "n_steps": 3, "method": "euler",
+        "seed": 0, "output_dir": str(tmp_path / "out_mesh"),
+    })
+    script._MODEL_CACHE.clear()
+    script.generate_samples(gen_mesh)
+    assert len(list((tmp_path / "out_mesh").glob("sample_*.png"))) == 8
+
 
 def test_evaluate_model_script(tmp_path, monkeypatch):
     """Drive evaluate_model.main() through its real CLI surface: checkpoint

@@ -139,3 +139,53 @@ def test_sampler_fused_ab4_matches_eager():
     np.testing.assert_allclose(np.asarray(lat), np.asarray(lat_ref),
                                atol=1e-6)
     assert np.isfinite(np.asarray(dec)).all()
+
+
+def test_make_e2e_sampler_sharded_mesh():
+    """Sharded serving: the e2e sampler under a >1-device mesh splits the
+    batch over the data axes (outputs placed on all devices), draws
+    independent noise per shard, and a non-divisible batch falls back to
+    one device."""
+    from flocoder_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    assert mesh.size == 8, "conftest pins an 8-device CPU platform"
+    codec = SimpleResizeAE(latent_shape=(4, 4, 3), image_size=8)
+    f = make_e2e_sampler(lambda p, x, t, c: 0.5 - x, codec, (4, 4, 3),
+                         batch_size=16, n_steps=4, cfg_strength=0.0,
+                         n_classes=0, mesh=mesh)
+    lat, img = f({}, {}, jax.random.PRNGKey(0), jnp.zeros(16, jnp.int32))
+    assert lat.shape == (16, 4, 4, 3) and img.shape == (16, 8, 8, 3)
+    assert len(lat.sharding.device_set) == 8
+    # per-shard independent noise: integrated latents differ across shards
+    per_shard = np.asarray(lat).reshape(8, 2, -1)
+    assert np.std(per_shard.mean(axis=(1, 2))) > 0
+    # fixed-point pull toward 0.5 on every shard
+    assert abs(float(lat.mean()) - 0.5) < 0.5
+
+    # batch 6 doesn't divide 8 shards → single-device fallback, still runs
+    f6 = make_e2e_sampler(lambda p, x, t, c: 0.5 - x, codec, (4, 4, 3),
+                          batch_size=6, n_steps=4, cfg_strength=0.0,
+                          n_classes=0, mesh=mesh)
+    lat6, img6 = f6({}, {}, jax.random.PRNGKey(0), jnp.zeros(6, jnp.int32))
+    assert lat6.shape == (6, 4, 4, 3)
+
+
+def test_sampler_fused_sharded_mesh():
+    """sampler(params=..., mesh=...) serves class-conditional batches under
+    shard_map with outputs spanning the mesh."""
+    from flocoder_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    codec = NoOpAE()
+    apply_p = lambda p, x, t, c: p["a"] - x
+    params = {"a": jnp.asarray(0.25)}
+    cond = {"class_cond": jnp.arange(16, dtype=jnp.int32) % 4,
+            "mask_cond": None}
+    lat, dec, nfe = sampler(apply_p, codec, {}, jax.random.PRNGKey(5),
+                            batch_size=16, n_steps=4, latent_shape=(4, 4, 3),
+                            cfg_strength=0.0, n_classes=4, cond=cond,
+                            params=params, mesh=mesh)
+    assert lat.shape == (16, 4, 4, 3) and nfe == 12
+    assert len(lat.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(dec)).all()

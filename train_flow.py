@@ -361,7 +361,9 @@ def train_flow(config):
                 cfg_strength=cfg_strength, is_midi=is_midi,
                 keep_gray=keep_gray, cb_tracker=cb_tracker,
                 codec_quantize=codec_quantize, use_wandb=use_wandb,
-                output_dir=output_dir)
+                output_dir=output_dir,
+                # training-time evals ride the same mesh as the train step
+                mesh=(mesh if mesh.size > 1 else None))
             # params= routes through the cached fused generate+decode
             # executable (evaluation._get_fused_sampler) — model_apply is
             # the stable callable built above, so raw and EMA evals share
