@@ -57,9 +57,13 @@ def main():
                     num_workers=2, seed=0)
     vb = next(iter(loader))
 
+    from flocoder_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+
     model, params = b["model"], b["params"]
     metrics = evaluate_model(
         lambda p, x, t, c: model.apply(p, x, t, c),
+        mesh=(mesh if mesh.size > 1 else None),
         params=params["model"],  # → fused generate+decode executable
         codec=b["codec"], codec_params=b["codec_params"], epoch=0,
         target_latents=jnp.asarray(vb["target"]),
