@@ -189,3 +189,29 @@ def test_sampler_fused_sharded_mesh():
     assert lat.shape == (16, 4, 4, 3) and nfe == 12
     assert len(lat.sharding.device_set) == 8
     assert np.isfinite(np.asarray(dec)).all()
+
+
+def test_sampler_fused_sharded_inpainting_operands():
+    """The sharded fused sampler splits EVERY batch-shaped operand —
+    source, init_latents (via init_image), mask_cond — over the mesh, not
+    just class_cond."""
+    from flocoder_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    codec = NoOpAE()
+    apply_p = lambda p, x, t, c: p["a"] - x
+    params = {"a": jnp.asarray(0.25)}
+    B = 16
+    source = jax.random.normal(jax.random.PRNGKey(9), (B, 4, 4, 3))
+    mask = jnp.ones((B, 4, 4, 1))
+    init_image = jnp.zeros((1, 4, 4, 3)) + 0.3  # tiled to B inside sampler
+    cond = {"class_cond": jnp.arange(B, dtype=jnp.int32) % 4,
+            "mask_cond": mask}
+    lat, dec, nfe = sampler(apply_p, codec, {}, jax.random.PRNGKey(5),
+                            batch_size=B, n_steps=4, latent_shape=(4, 4, 3),
+                            cfg_strength=0.0, n_classes=4, cond=cond,
+                            source=source, init_image=init_image,
+                            init_strength=0.5, params=params, mesh=mesh)
+    assert lat.shape == (B, 4, 4, 3)
+    assert len(lat.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(dec)).all()
