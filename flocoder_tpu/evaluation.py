@@ -130,7 +130,13 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
     ``model_apply(params, x, t, cond)`` and the whole generate+decode runs
     through ONE cached jitted executable (``_get_fused_sampler``) — pass a
     STABLE callable (defined once, not a fresh lambda per call) so the cache
-    hits. With ``params=None`` the legacy dispatch-per-piece path runs."""
+    hits. With ``params=None`` the legacy dispatch-per-piece path runs.
+
+    ``mesh``: shards the fused executable's batch over the mesh data axes
+    (sharded serving). Applies to the fixed-NFE fused methods only — the
+    adaptive rk45 path and the legacy params=None path run single-device —
+    and falls back to one device when batch_size doesn't divide the shard
+    count."""
     k_init, k_gen, k_cls = jax.random.split(rng, 3)
 
     init_latents = None
