@@ -86,6 +86,10 @@ def _mfu_pct(flops_per_call, calls_per_sec, peak):
 
 
 def main():
+    if bool(int(os.environ.get("FC_BENCH_SMOKE", "0"))):
+        # CI smoke: no tunnel to flake, and swallowing a failure would
+        # defeat the rot guard — let exceptions propagate (nonzero exit)
+        return _run()
     # The axon TPU tunnel intermittently fails large executables with an
     # opaque InvalidArgument after heavy use and recovers after idle time
     # (docs/BENCH_NOTES.md) — retry a few times before giving up.

@@ -58,12 +58,11 @@ def main():
     vb = next(iter(loader))
 
     from flocoder_tpu.parallel.mesh import make_mesh
-    mesh = make_mesh()
 
     model, params = b["model"], b["params"]
     metrics = evaluate_model(
         lambda p, x, t, c: model.apply(p, x, t, c),
-        mesh=(mesh if mesh.size > 1 else None),
+        mesh=make_mesh(),  # degenerate meshes are treated as single-device
         params=params["model"],  # → fused generate+decode executable
         codec=b["codec"], codec_params=b["codec_params"], epoch=0,
         target_latents=jnp.asarray(vb["target"]),

@@ -31,16 +31,28 @@ _fused_cache: dict = {}
 
 
 def _mesh_shards(mesh):
-    """(batch axis names, number of batch shards) of a mesh; (None, 1) for
-    no/degenerate mesh."""
-    if mesh is None or mesh.size == 1:
-        return None, 1
-    from .parallel.mesh import batch_axis_names
+    """(normalized tuple of batch axis names, number of batch shards);
+    ((), 1) for no/degenerate mesh (including a mesh whose batch axes are
+    all size 1, e.g. pure tensor-parallel)."""
+    from .parallel.mesh import batch_axis_names, batch_shard_count
+    n = batch_shard_count(mesh)
+    if n == 1:
+        return (), 1
     names = batch_axis_names(mesh)
-    n = 1
-    for a in (names if isinstance(names, tuple) else (names,)):
-        n *= mesh.shape[a]
-    return names, n
+    return (names if isinstance(names, tuple) else (names,)), n
+
+
+def _shard_serving(local_fn, mesh, names, batch_arg_flags, n_out: int):
+    """jit(shard_map(local_fn)) with the args whose flag is True (and every
+    output) split on dim 0 over the mesh batch axes ``names``; everything
+    else replicated. The serving shape: params replicated, batch sharded,
+    zero collectives inside."""
+    from .parallel.mesh import P, shard_map
+    bspec = P(names)
+    return jax.jit(shard_map(
+        local_fn, mesh=mesh,
+        in_specs=tuple(bspec if f else P() for f in batch_arg_flags),
+        out_specs=tuple(bspec for _ in range(n_out)), check_rep=False))
 
 
 def _get_fused_sampler(model_apply_p: Callable, codec, *, shape, method,
@@ -49,11 +61,13 @@ def _get_fused_sampler(model_apply_p: Callable, codec, *, shape, method,
                        keep_gray, mesh=None):
     names, n_shards = _mesh_shards(mesh)
     if shape[0] % n_shards:   # partial batch can't split evenly → 1 device
-        names, n_shards = None, 1
+        names, n_shards = (), 1
+    # Mesh hashes by value, so a freshly built (but identical) mesh per
+    # call still hits the cached sharded executable
     key = (id(model_apply_p), id(codec), tuple(shape), method, n_steps,
            float(cfg_strength), has_class, has_mask, has_source, has_init,
            float(init_strength), is_midi, keep_gray,
-           id(mesh) if n_shards > 1 else None)
+           mesh if n_shards > 1 else None)
     f = _fused_cache.get(key)
     if f is not None:
         return f
@@ -84,22 +98,13 @@ def _get_fused_sampler(model_apply_p: Callable, codec, *, shape, method,
     if n_shards == 1:
         f = jax.jit(make_fused(tuple(shape)))
     else:
-        # sharded serving: params/codec replicated, every batch-shaped
-        # operand split over the mesh batch axes, zero collectives inside
-        # (sample generation is embarrassingly data-parallel)
-        from .parallel.mesh import P, shard_map
+        # sharded serving (sample generation is embarrassingly
+        # data-parallel)
         local = (shape[0] // n_shards,) + tuple(shape[1:])
-        bspec = P(names)
-        f = jax.jit(shard_map(
-            make_fused(local, fold_axes=(names if isinstance(names, tuple)
-                                         else (names,))),
-            mesh=mesh,
-            in_specs=(P(), P(), P(),
-                      bspec if has_class else P(),
-                      bspec if has_mask else P(),
-                      bspec if has_source else P(),
-                      bspec if has_init else P()),
-            out_specs=(bspec, bspec), check_rep=False))
+        f = _shard_serving(
+            make_fused(local, fold_axes=names), mesh, names,
+            (False, False, False, has_class, has_mask, has_source,
+             has_init), n_out=2)
     _fused_cache[key] = f
     return f
 
@@ -293,7 +298,7 @@ def make_e2e_sampler(model_apply_p: Callable, codec, latent_shape,
     scales linearly over chips with zero collectives."""
     names, n_shards = _mesh_shards(mesh)
     if batch_size % n_shards:
-        names, n_shards = None, 1
+        names, n_shards = (), 1
 
     def make_f(local_b, fold_axes=()):
         def f(params, codec_params, rng, class_cond):
@@ -313,10 +318,5 @@ def make_e2e_sampler(model_apply_p: Callable, codec, latent_shape,
 
     if n_shards == 1:
         return jax.jit(make_f(batch_size))
-    from .parallel.mesh import P, shard_map
-    bspec = P(names)
-    return jax.jit(shard_map(
-        make_f(batch_size // n_shards,
-               fold_axes=(names if isinstance(names, tuple) else (names,))),
-        mesh=mesh, in_specs=(P(), P(), P(), bspec),
-        out_specs=(bspec, bspec), check_rep=False))
+    return _shard_serving(make_f(batch_size // n_shards, fold_axes=names),
+                          mesh, names, (False, False, False, True), n_out=2)

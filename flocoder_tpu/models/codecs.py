@@ -517,11 +517,16 @@ class VQVAE:
 # --------------------------------------------------------------------------
 
 def setup_codec(config, load_checkpoint: bool = True,
-                ring_axis_size: int = 1):
+                ring_axis_size: int = 1, dtype=None):
     """Build a codec from ``config.codec.choice`` ∈ {noop, resize, sd,
     vqgan, vqgan_plus} (reference: codecs.py:668-741). Returns the codec
     object; parameter loading is the caller's concern via
     training.checkpoint (kept separate so jit boundaries stay clean).
+
+    Compute dtype: ``dtype`` argument when given (serving casts), else
+    bfloat16 iff ``codec.bf16`` is set — deliberately codec-SCOPED, so
+    ``flow.bf16`` (a train-step speed flag) can't silently change
+    pre-encode latent precision.
 
     ``ring_axis_size`` > 1 with ``codec.ring_attention=true`` builds the
     VQVAE with sequence-parallel non-local attention over the mesh 'model'
@@ -531,6 +536,10 @@ def setup_codec(config, load_checkpoint: bool = True,
     choice = config.codec.choice if "codec" in config else "noop"
     image_size = ldcfg(config, "image_size", 128)
     in_channels = ldcfg(config, "in_channels", 3)
+    if dtype is None:
+        codec_bf16 = (bool(config.codec.get("bf16", False))
+                      if "codec" in config else False)
+        dtype = jnp.bfloat16 if codec_bf16 else jnp.float32
     if choice == "noop":
         return NoOpAE(in_channels=in_channels)
     if choice == "resize":
@@ -540,14 +549,10 @@ def setup_codec(config, load_checkpoint: bool = True,
                                                           image_size))
     if choice == "sd":
         from .sd_vae import SDVAE
-        return SDVAE(image_size=image_size,
-                     dtype=(jnp.bfloat16 if bool(ldcfg(config, "bf16",
-                                                       False))
-                            else jnp.float32))
+        return SDVAE(image_size=image_size, dtype=dtype)
     if choice in ("vqgan", "vqgan_plus"):
         kw = dict(
-            dtype=(jnp.bfloat16 if bool(ldcfg(config, "bf16", False))
-                   else jnp.float32),
+            dtype=dtype,
             in_channels=in_channels,
             hidden_channels=ldcfg(config, "hidden_channels", 256),
             num_downsamples=ldcfg(config, "num_downsamples", 3),

@@ -33,6 +33,7 @@ __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "DCN_AXIS", "batch_axis_names",
     "fsdp_param_shardings", "shard_state", "pmean_typed",
     "tp_param_shardings", "shard_state_tp", "shard_map",
+    "batch_shard_count",
 ]
 
 # jax ≥0.8 promotes shard_map to the stable namespace (renaming the
@@ -84,6 +85,19 @@ def batch_axis_names(mesh: Mesh):
     if DCN_AXIS in mesh.axis_names:
         return (DCN_AXIS, DATA_AXIS)
     return DATA_AXIS
+
+
+def batch_shard_count(mesh: Optional[Mesh]) -> int:
+    """How many ways the batch dim splits on this mesh (1 for None, a
+    single device, or a mesh whose batch axes are all size 1 — e.g. pure
+    tensor-parallel)."""
+    if mesh is None or mesh.size == 1:
+        return 1
+    names = batch_axis_names(mesh)
+    n = 1
+    for a in (names if isinstance(names, tuple) else (names,)):
+        n *= mesh.shape[a]
+    return n
 
 
 def data_sharding(mesh: Mesh, ndim: int = 1, axis: int = 0) -> NamedSharding:

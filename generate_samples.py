@@ -29,10 +29,16 @@ _MODEL_CACHE: dict = {}
 
 
 def load_models_once(config, flow_ckpt_path: str):
-    """Build + load flow model and codec, cached per checkpoint path
-    (reference: generate_samples.py:60-118)."""
-    if flow_ckpt_path in _MODEL_CACHE:
-        return _MODEL_CACHE[flow_ckpt_path]
+    """Build + load flow model and codec, cached per (checkpoint path,
+    requested serving dtype) (reference: generate_samples.py:60-118)."""
+    # The bundle depends on the bf16 request, so it's part of the cache key
+    # — a fp32 call after a bf16 one (webapp requests) must not reuse the
+    # wrong-dtype models. None = defer to the checkpoint's own flag.
+    bf16_cli = config.get("bf16", None)
+    cache_key = (flow_ckpt_path,
+                 None if bf16_cli is None else bool(bf16_cli))
+    if cache_key in _MODEL_CACHE:
+        return _MODEL_CACHE[cache_key]
     import jax
     import jax.numpy as jnp
     from flocoder_tpu.config import ldcfg
@@ -47,15 +53,15 @@ def load_models_once(config, flow_ckpt_path: str):
     n_classes = int(ldcfg(ck_config, "n_classes", 0))
     dim_mults = tuple(ldcfg(ck_config, "dim_mults", [1, 2, 4, 8]))
 
-    # +bf16=true serves in bfloat16 compute (params stay fp32 from the
-    # checkpoint) — the TPU-native analog of the reference's optional fp16
-    # cast (generate_samples.py:114-117); ~1.1-2x sampler throughput
-    bf16 = bool(config.get("bf16", False) or ldcfg(ck_config, "bf16", False))
-    if bf16:
-        ck_config["bf16"] = True  # setup_codec reads the flag via ldcfg
+    # +bf16=true/false serves in bfloat16/float32 compute (params stay fp32
+    # from the checkpoint) — the TPU-native analog of the reference's
+    # optional fp16 cast (generate_samples.py:114-117). An explicit CLI
+    # value overrides the checkpoint's flag in BOTH directions.
+    bf16 = (bool(bf16_cli) if bf16_cli is not None
+            else bool(ldcfg(ck_config, "bf16", False)))
     dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-    codec = setup_codec(ck_config)
+    codec = setup_codec(ck_config, dtype=dtype)
     image_size = int(ldcfg(ck_config, "image_size", 128))
     H, W, C = codec.latent_shape(image_size) if hasattr(codec, "latent_shape") \
         else (16, 16, 4)
@@ -81,7 +87,7 @@ def load_models_once(config, flow_ckpt_path: str):
     bundle = dict(model=model, params=params, codec=codec,
                   codec_params=codec_params, latent_shape=(H, W, C),
                   n_classes=n_classes, config=ck_config)
-    _MODEL_CACHE[flow_ckpt_path] = bundle
+    _MODEL_CACHE[cache_key] = bundle
     return bundle
 
 
@@ -143,12 +149,13 @@ def generate_samples(config):
     key = jax.random.PRNGKey(int(config.get("seed", 0)))
 
     # multi-chip host: serve under shard_map over the data mesh axes (the
-    # sampler falls back to one device for partial batches that don't split)
-    from flocoder_tpu.parallel.mesh import make_mesh
-    mesh = make_mesh()
-    serve_mesh = mesh if mesh.size > 1 else None
-    if serve_mesh is not None:
-        print(f"serving over {mesh.size} devices ({dict(mesh.shape)})")
+    # sampler treats degenerate meshes as single-device and falls back for
+    # partial batches that don't split)
+    from flocoder_tpu.parallel.mesh import batch_shard_count, make_mesh
+    serve_mesh = make_mesh()
+    if batch_shard_count(serve_mesh) > 1:
+        print(f"serving over {batch_shard_count(serve_mesh)} batch shards "
+              f"({dict(serve_mesh.shape)})")
 
     # +class_cond=N samples a single class; default is the 10-column class
     # grid (when the model is class-conditional)

@@ -363,7 +363,8 @@ def train_flow(config):
                 codec_quantize=codec_quantize, use_wandb=use_wandb,
                 output_dir=output_dir,
                 # training-time evals ride the same mesh as the train step
-                mesh=(mesh if mesh.size > 1 else None))
+                # (degenerate meshes are treated as single-device)
+                mesh=mesh)
             # params= routes through the cached fused generate+decode
             # executable (evaluation._get_fused_sampler) — model_apply is
             # the stable callable built above, so raw and EMA evals share

@@ -87,11 +87,14 @@ def train_vqgan(config):
     # metrics.py:220) or 'vqgan_plus' (the full VQGANPlusDiscriminator,
     # vqgan_plus.py:191-229, paired with LeCAM via lecam_weight)
     disc_choice = str(ldcfg(config, "discriminator", "patch"))
-    # discriminator + perceptual net follow the codec's compute dtype
-    # (codecs.py:546): params fp32, compute bf16 when codec.bf16 is set —
-    # the D-step/G-pullback disc passes are a material share of the GAN step
+    # discriminator + perceptual net follow the codec's compute dtype:
+    # params fp32, compute bf16 when codec.bf16 is set (codec-SCOPED, like
+    # setup_codec — flow.bf16 must not leak into codec training) — the
+    # D-step/G-pullback disc passes are a material share of the GAN step
     # (benchmarks/gan_profile.py)
-    net_dtype = (jnp.bfloat16 if bool(ldcfg(config, "bf16", False))
+    net_dtype = (jnp.bfloat16
+                 if ("codec" in config
+                     and bool(config.codec.get("bf16", False)))
                  else jnp.float32)
     if disc_choice == "vqgan_plus":
         from flocoder_tpu.models.discriminator import VQGANPlusDiscriminator
