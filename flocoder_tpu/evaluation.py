@@ -311,7 +311,7 @@ def make_e2e_sampler(model_apply_p: Callable, codec, latent_shape,
                 lambda x, t, c: model_apply_p(params, x, t, c),
                 (local_b,) + tuple(latent_shape), rng,
                 method=method, n_steps=n_steps, cond=cond,
-                cfg_strength=cfg_strength, t_scale=t_scale)
+                cfg_strength=cfg_strength, t_scale=t_scale, warp_s=warp_s)
             images = codec.decode(codec_params, latents)
             return latents, images
         return f

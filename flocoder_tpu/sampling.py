@@ -396,15 +396,19 @@ def generate_latents(apply_fn: Callable, shape, rng: jax.Array,
                      method: str = "rk4", n_steps: int = 50,
                      cond: Optional[dict] = None, cfg_strength: float = 3.0,
                      source=None, init_latents=None, init_strength: float = 0.0,
-                     t_scale: float = 999.0, dtype=jnp.float32):
+                     t_scale: float = 999.0, warp_s: float = 0.5,
+                     dtype=jnp.float32):
     """Dispatch by method ∈ {'rk4', 'euler', 'heun', 'midpoint', 'ab4',
     'rk45'} (reference: sampling.py:127-146 — whose 'rk45' branch called a
     removed function; here it works; heun/midpoint/ab4 are NFE-efficient
-    additions)."""
+    additions). ``warp_s``: time-warp slope (reference sampling.py:23-33;
+    0.5 = the default cubic warp, None = uniform grid)."""
     common = dict(cond=cond, cfg_strength=cfg_strength, source=source,
                   t_scale=t_scale, dtype=dtype)
     if method == "rk45":
+        # adaptive: no fixed time grid, so the warp doesn't apply
         return generate_latents_rk45(apply_fn, shape, rng, **common)
+    common["warp_s"] = warp_s
     if method == "ab4":
         return generate_latents_ab4(apply_fn, shape, rng, n_steps=n_steps,
                                     init_latents=init_latents,
