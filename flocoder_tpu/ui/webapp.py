@@ -46,6 +46,9 @@ input, select {{ margin-right: 1.2rem; }}
 <label>method</label><select name="method">{methods}</select>
 <label>steps</label><input name="steps" type="number" value="{steps}">
 <label>seed</label><input name="seed" type="number" value="{seed}"><br>
+<label>init image (path)</label><input name="init_image" size="48" value="{init_image}">
+<label>init strength</label><input name="init_strength" type="number"
+ step="0.1" min="0" max="1" value="{init_strength}"><br>
 <button type="submit">Generate</button>
 </fieldset></form>
 {body}
@@ -90,6 +93,8 @@ def create_app(config, out_dir: str = "samples_web"):
         "steps": int(ldcfg(config, "n_steps", 50)),
         "seed": int(ldcfg(config, "seed", 0)),
         "method": str(ldcfg(config, "method", "rk4")),
+        "init_image": str(config.get("init_image", "") or ""),
+        "init_strength": float(config.get("init_strength", 0.0)),
     }
 
     def render(msg=""):
@@ -100,6 +105,8 @@ def create_app(config, out_dir: str = "samples_web"):
         return _PAGE.format(ckpt=html.escape(str(p["ckpt"])), n=p["n"],
                             cfg=p["cfg"], steps=p["steps"], seed=p["seed"],
                             methods=methods,
+                            init_image=html.escape(str(p["init_image"])),
+                            init_strength=p["init_strength"],
                             body=_gallery_html(out_dir, msg))
 
     def run_generation(params: dict) -> str:
@@ -112,6 +119,9 @@ def create_app(config, out_dir: str = "samples_web"):
             "seed": params["seed"], "method": params["method"],
             "output_dir": out_dir, "batch_size": min(params["n"], 64),
         })
+        if params.get("init_image"):
+            cfg.update({"init_image": params["init_image"],
+                        "init_strength": params["init_strength"]})
         for f in glob.glob(os.path.join(out_dir, "*")):
             os.remove(f)
         gs.generate_samples(config_from_dict(cfg))
@@ -162,7 +172,11 @@ def create_app(config, out_dir: str = "samples_web"):
                       "cfg": val("cfg", float, defaults["cfg"]),
                       "steps": val("steps", int, defaults["steps"]),
                       "seed": val("seed", int, defaults["seed"]),
-                      "method": val("method", str, defaults["method"])}
+                      "method": val("method", str, defaults["method"]),
+                      "init_image": val("init_image", str,
+                                        defaults["init_image"]),
+                      "init_strength": val("init_strength", float,
+                                           defaults["init_strength"])}
             state["last_params"] = params
             if not lock.acquire(blocking=False):
                 return self._send(render("busy — a generation is running"))

@@ -160,6 +160,11 @@ def generate_samples(config):
     # +class_cond=N samples a single class; default is the 10-column class
     # grid (when the model is class-conditional)
     fixed_class = config.get("class_cond", None)
+    # +init_image=path.png +init_strength=0.5 — img2img-style start from an
+    # encoded init image (the sampler accepts file paths; reference exposes
+    # this only via the sampler API, sampling.py:191-208)
+    init_image = config.get("init_image", None)
+    init_strength = float(config.get("init_strength", 0.0))
 
     done, batch_idx = 0, 0
     while done < n_samples:
@@ -176,6 +181,7 @@ def generate_samples(config):
             batch_size=bs, n_steps=n_steps, cond=cond,
             n_classes=b["n_classes"], latent_shape=b["latent_shape"],
             cfg_strength=cfg_strength, is_midi=is_midi, keep_gray=keep_gray,
+            init_image=init_image, init_strength=init_strength,
             params=params["model"], mesh=serve_mesh)
         decoded = np.asarray(decoded)
         dt = time.time() - t0

@@ -250,3 +250,42 @@ def test_evaluate_model_script(tmp_path, monkeypatch):
     ])
     script.main()
     assert (tmp_path / "eval_out").exists()
+
+
+def test_generate_samples_init_image(tmp_path, monkeypatch):
+    """+init_image=path.png +init_strength: img2img-style serving through
+    the script CLI surface (the reference only reaches this via the sampler
+    API, sampling.py:191-208)."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.training.checkpoint import save_checkpoint
+
+    script = _load_script("generate_samples")
+    monkeypatch.chdir(tmp_path)
+
+    cfg = config_from_dict({
+        "data": str(tmp_path / "toy"), "image_size": 8, "no_wandb": True,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [3, 8, 8]},
+        "flow": {"dim_mults": [1, 2], "unet": {"n_classes": 0}},
+        "n_classes": 0, "dim_mults": [1, 2],
+    })
+    model = Unet(dim=8, channels=3, dim_mults=(1, 2), n_classes=0)
+    params = {"model": model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 8, 8, 3)),
+                                  jnp.zeros((1,)),
+                                  {"class_cond": None, "mask_cond": None})}
+    save_checkpoint(params, 1, ckpt_dir="checkpoints", prefix="flowema_",
+                    config=cfg)
+    init_png = tmp_path / "init.png"
+    Image.new("RGB", (8, 8), (200, 30, 30)).save(init_png)
+
+    gen_cfg = config_from_dict({
+        "n_samples": 2, "batch_size": 2, "n_steps": 3, "method": "euler",
+        "seed": 0, "init_image": str(init_png), "init_strength": 0.6,
+        "output_dir": str(tmp_path / "out_init"),
+    })
+    script._MODEL_CACHE.clear()
+    script.generate_samples(gen_cfg)
+    assert len(list((tmp_path / "out_init").glob("sample_*.png"))) == 2
