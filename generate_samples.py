@@ -223,7 +223,8 @@ def create_gradio_interface(config):
 
     from flocoder_tpu.config import ldcfg
 
-    def run(ckpt, n_samples, cfg_strength, method, n_steps, seed):
+    def run(ckpt, n_samples, cfg_strength, method, n_steps, seed,
+            init_image, init_strength):
         cfg = config
         cfg["flow_checkpoint"] = ckpt
         cfg["n_samples"] = int(n_samples)
@@ -231,6 +232,9 @@ def create_gradio_interface(config):
         cfg["method"] = method
         cfg["n_steps"] = int(n_steps)
         cfg["seed"] = int(seed)
+        if init_image:
+            cfg["init_image"] = str(init_image)
+            cfg["init_strength"] = float(init_strength)
         cfg["output_dir"] = "samples_gradio"
         generate_samples(cfg)
         pngs = sorted(glob.glob("samples_gradio/sample_*.png"))
@@ -252,10 +256,16 @@ def create_gradio_interface(config):
             steps = gr.Slider(4, 200, value=int(ldcfg(config, "n_steps", 100)),
                               step=1, label="steps")
             seed = gr.Number(value=0, label="seed")
+        with gr.Row():
+            init_image = gr.Image(type="filepath", label="init image "
+                                  "(optional, img2img)")
+            init_strength = gr.Slider(0, 1, value=0.5, step=0.05,
+                                      label="init strength")
         btn = gr.Button("Generate")
         gallery = gr.Gallery(label="samples")
         midi_files = gr.Files(label="MIDI files")
-        btn.click(run, [ckpt, n_samples, cfg_s, method, steps, seed],
+        btn.click(run, [ckpt, n_samples, cfg_s, method, steps, seed,
+                        init_image, init_strength],
                   [gallery, midi_files])
     app.launch(share=True)
 

@@ -261,3 +261,56 @@ def test_make_training_key_rbg_drives_training_steps():
         (B, S, S, 3)).astype(np.float32) * 0.5)
     _, aux, _ = step(state, x, k1)
     assert np.isfinite(float(aux["total"]))
+
+
+def test_approx_al_recovers_linear_operator():
+    """approx_AL least-squares fit recovers the true measurement matrix
+    when Y = X A^T exactly (reference: inpainting.py:68-88)."""
+    import jax.numpy as jnp
+    from flocoder_tpu.inpainting import approx_AL
+    rng = np.random.default_rng(0)
+    d = 12
+    A_true = rng.standard_normal((d, d)).astype(np.float32)
+    X = rng.standard_normal((64, d)).astype(np.float32)   # 64 samples
+    Y = X @ A_true.T
+    A_est = approx_AL(jnp.asarray(Y).reshape(64, 3, 2, 2),
+                      jnp.asarray(X).reshape(64, 3, 2, 2))
+    np.testing.assert_allclose(np.asarray(A_est), A_true, atol=2e-3)
+
+
+def test_algorithm3_pulls_velocity_toward_measurement():
+    """The PiGDM-style correction (reference: inpainting.py:92-130) leaves a
+    consistent velocity untouched (zero residual) and otherwise moves the
+    implied x1_hat prediction toward satisfying y = A x1."""
+    import jax.numpy as jnp
+    from flocoder_tpu.inpainting import algorithm3
+    d = 8
+    A = jnp.eye(d, dtype=jnp.float32)      # identity measurement
+    x1 = jnp.asarray(np.random.default_rng(1).standard_normal(d),
+                     jnp.float32).reshape(2, 2, 2)
+    tp = 0.5
+    # conditional-OT path: x_t = t*x1 + (1-t)*x0; true v = x1 - x0
+    x0 = jnp.zeros_like(x1)
+    x_t = tp * x1 + (1 - tp) * x0
+    v_true = x1 - x0
+    y = A @ x1.reshape(-1)
+    # consistent case: correction g has zero residual -> v unchanged
+    v_corr = algorithm3(v_true, x_t, 0.5, tp, y, A, sigma_y=1e-4)
+    np.testing.assert_allclose(np.asarray(v_corr), np.asarray(v_true),
+                               atol=1e-3)
+    # inconsistent case: measurement says x1 + delta; correction must move
+    # the implied x1_hat prediction toward the measurement
+    delta = jnp.ones(d, jnp.float32) * 0.5
+    v_corr2 = algorithm3(v_true, x_t, 0.5, tp, y + A @ delta, A,
+                         sigma_y=1e-4)
+    # implied x1_hat from a velocity v at (x_t, tp) on the OT path:
+    # x1_hat = coeff_inv * (v - d_ln_sigma_dt * x_t)
+    def x1_hat(v):
+        d_ln_ratio_dt = 1.0 / (tp * (1 - tp))
+        d_ln_sigma_dt = -1.0 / (1 - tp)
+        return (v - d_ln_sigma_dt * x_t) / (tp * d_ln_ratio_dt)
+    err_before = float(jnp.linalg.norm(A @ x1_hat(v_true).reshape(-1)
+                                       - (y + A @ delta)))
+    err_after = float(jnp.linalg.norm(A @ x1_hat(v_corr2).reshape(-1)
+                                      - (y + A @ delta)))
+    assert err_after < err_before
