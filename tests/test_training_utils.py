@@ -314,3 +314,39 @@ def test_algorithm3_pulls_velocity_toward_measurement():
     err_after = float(jnp.linalg.norm(A @ x1_hat(v_corr2).reshape(-1)
                                       - (y + A @ delta)))
     assert err_after < err_before
+
+
+def test_transfer_outer_layers_roundtrip():
+    """Partial transfer learning (reference: codecs.py:746-774 — defined
+    there but never called; here it's a tested API): outer encoder blocks +
+    decoder tail convs come from the source, everything else keeps the
+    fresh init, and the frozen mask marks exactly the transferred leaves."""
+    import jax.numpy as jnp
+    from flocoder_tpu.models.codecs import VQVAE
+    from flocoder_tpu.training.checkpoint import (flatten_tree,
+                                                  transfer_outer_layers)
+
+    codec = VQVAE(in_channels=3, hidden_channels=8, num_downsamples=2,
+                  vq_num_embeddings=8, internal_dim=8, codebook_levels=2,
+                  vq_embedding_dim=4)
+    fresh = codec.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    donor = codec.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 3)))
+    source_state = {k: np.asarray(v) + 7.0
+                    for k, v in flatten_tree(donor).items()}
+
+    params, frozen = transfer_outer_layers(fresh, source_state)
+    flat_new = flatten_tree(params)
+    flat_fresh = flatten_tree(fresh)
+    flat_frozen = flatten_tree(frozen)
+    moved = [k for k, f in flat_frozen.items() if f]
+    kept = [k for k, f in flat_frozen.items() if not f]
+    assert moved, "nothing transferred"
+    for k in moved:
+        np.testing.assert_array_equal(np.asarray(flat_new[k]),
+                                      source_state[k])
+        assert (k.startswith("encoder/params/EncDecResidualBlock_0")
+                or k.startswith("encoder/params/EncDecResidualBlock_1")
+                or k.startswith("decoder/")), k
+    for k in kept:
+        np.testing.assert_array_equal(np.asarray(flat_new[k]),
+                                      np.asarray(flat_fresh[k]))
