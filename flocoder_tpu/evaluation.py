@@ -125,8 +125,8 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
             cond: Optional[dict] = None, n_classes: int = 0,
             latent_shape=(16, 16, 4), cfg_strength: float = 3.0,
             is_midi: bool = False, keep_gray: bool = False, source=None,
-            init_image=None, init_strength: float = 0.0, params=None,
-            mesh=None):
+            init_image=None, init_latents=None, init_strength: float = 0.0,
+            params=None, mesh=None):
     """Generate predicted latents and decode them
     (reference: sampling.py:186-229). latent_shape is (H, W, C) NHWC.
     Returns (pred_latents, decoded_pred, nfe).
@@ -144,16 +144,20 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
     count."""
     k_init, k_gen, k_cls = jax.random.split(rng, 3)
 
-    init_latents = None
-    if init_image is not None:
+    # init_latents= (pre-encoded, e.g. cached across a generation loop)
+    # takes precedence over init_image= (encoded here per call)
+    if init_latents is None and init_image is not None:
         if isinstance(init_image, str):
             # file-path init images (reference: sampling.py:204-208)
             from PIL import Image
             img = Image.open(init_image).convert("RGB")
             init_image = jnp.asarray(np.asarray(img, np.float32) / 255.0)[None]
         init_latents = codec.encode(codec_params, init_image)
-        if init_latents.shape[0] == 1 and batch_size > 1:
-            init_latents = jnp.tile(init_latents, (batch_size, 1, 1, 1))
+    if init_latents is not None and init_latents.shape[0] == 1 \
+            and batch_size > 1:
+        init_latents = jnp.tile(init_latents, (batch_size, 1, 1, 1))
+    if init_latents is not None:
+        init_latents = init_latents[:batch_size]
 
     shape = (batch_size,) + tuple(latent_shape)
     if source is not None:
@@ -186,9 +190,13 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
             is_midi=is_midi, keep_gray=keep_gray, mesh=mesh)
         pred_latents, decoded = fused(params, codec_params, k_gen, cls, msk,
                                       source, init_latents)
-        # n_steps grid points → n_steps-1 integration intervals
-        # (sampling.py nfe convention)
-        n_int = n_steps - 1
+        # n_steps grid points → n_steps-1 integration intervals; with an
+        # init image the grid SHRINKS to n_steps·(1-init_strength) points
+        # (sampling._time_grid, reference :108) — report the real NFE
+        eff_steps = n_steps
+        if init_latents is not None and init_strength > 0:
+            eff_steps = max(1, int(n_steps * (1.0 - init_strength)))
+        n_int = eff_steps - 1
         nfe = {"rk4": 4 * n_int, "euler": n_int, "heun": 2 * n_int,
                "midpoint": 2 * n_int,
                "ab4": 12 + (n_int - 3) if n_int >= 4 else 4 * n_int}[method]

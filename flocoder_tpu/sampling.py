@@ -132,7 +132,11 @@ def cfg_velocity(apply_fn: Callable, cond: Optional[dict], cfg_strength: float,
 
 def _time_grid(n_steps: int, init_strength: float, warp_s: float, dtype):
     """Warped integration grid t ∈ [init_strength, 1]
-    (reference: sampling.py:101-111)."""
+    (reference: sampling.py:101-111). Reference-faithful subtlety: the warp
+    is applied AFTER the grid starts at init_strength, so the first eval
+    time is warp_time(init_strength) while the init blend is constructed at
+    t = init_strength (exactly what the reference does at :109-111);
+    pass warp_s=None for a self-consistent uniform img2img grid."""
     if init_strength > 0:
         n_steps = max(1, int(n_steps * (1.0 - init_strength)))
     ts = jnp.linspace(init_strength, 1.0, n_steps, dtype=dtype)

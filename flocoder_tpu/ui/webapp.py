@@ -94,7 +94,7 @@ def create_app(config, out_dir: str = "samples_web"):
         "seed": int(ldcfg(config, "seed", 0)),
         "method": str(ldcfg(config, "method", "rk4")),
         "init_image": str(config.get("init_image", "") or ""),
-        "init_strength": float(config.get("init_strength", 0.0)),
+        "init_strength": float(config.get("init_strength", 0.5)),
     }
 
     def render(msg=""):
@@ -119,9 +119,10 @@ def create_app(config, out_dir: str = "samples_web"):
             "seed": params["seed"], "method": params["method"],
             "output_dir": out_dir, "batch_size": min(params["n"], 64),
         })
-        if params.get("init_image"):
-            cfg.update({"init_image": params["init_image"],
-                        "init_strength": params["init_strength"]})
+        # always assign: a cleared field must override a launch-config
+        # init_image, not leave it active
+        cfg["init_image"] = params.get("init_image") or None
+        cfg["init_strength"] = params.get("init_strength", 0.5)
         for f in glob.glob(os.path.join(out_dir, "*")):
             os.remove(f)
         gs.generate_samples(config_from_dict(cfg))
@@ -160,7 +161,10 @@ def create_app(config, out_dir: str = "samples_web"):
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
-            form = urllib.parse.parse_qs(self.rfile.read(length).decode())
+            # keep_blank_values: a cleared text field (init_image=) must
+            # override a config default, not silently fall back to it
+            form = urllib.parse.parse_qs(self.rfile.read(length).decode(),
+                                         keep_blank_values=True)
 
             def val(k, cast, dflt):
                 try:

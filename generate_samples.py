@@ -88,6 +88,12 @@ def load_models_once(config, flow_ckpt_path: str):
                   codec_params=codec_params, latent_shape=(H, W, C),
                   n_classes=n_classes, config=ck_config)
     _MODEL_CACHE[cache_key] = bundle
+    # alias: a later call whose explicit flag matches the checkpoint's own
+    # resolution must not rebuild an identical bundle (and vice versa)
+    _MODEL_CACHE[(flow_ckpt_path, bf16)] = bundle
+    if bf16_cli is not None and bool(bf16_cli) == bool(
+            ldcfg(ck_config, "bf16", False)):
+        _MODEL_CACHE[(flow_ckpt_path, None)] = bundle
     return bundle
 
 
@@ -162,9 +168,19 @@ def generate_samples(config):
     fixed_class = config.get("class_cond", None)
     # +init_image=path.png +init_strength=0.5 — img2img-style start from an
     # encoded init image (the sampler accepts file paths; reference exposes
-    # this only via the sampler API, sampling.py:191-208)
-    init_image = config.get("init_image", None)
-    init_strength = float(config.get("init_strength", 0.0))
+    # this only via the sampler API, sampling.py:191-208). Empty string
+    # (cleared UI field) means none; strength defaults to 0.5 when an image
+    # is given (0.0 would silently ignore it). Encoded ONCE here — the
+    # generation loop reuses the latents across batches.
+    init_image = config.get("init_image", None) or None
+    init_strength = float(config.get("init_strength",
+                                     0.5 if init_image else 0.0))
+    init_latents = None
+    if init_image is not None:
+        from PIL import Image
+        img = Image.open(str(init_image)).convert("RGB")
+        arr = jnp.asarray(np.asarray(img, np.float32) / 255.0)[None]
+        init_latents = jax.jit(b["codec"].encode)(b["codec_params"], arr)
 
     done, batch_idx = 0, 0
     while done < n_samples:
@@ -181,7 +197,7 @@ def generate_samples(config):
             batch_size=bs, n_steps=n_steps, cond=cond,
             n_classes=b["n_classes"], latent_shape=b["latent_shape"],
             cfg_strength=cfg_strength, is_midi=is_midi, keep_gray=keep_gray,
-            init_image=init_image, init_strength=init_strength,
+            init_latents=init_latents, init_strength=init_strength,
             params=params["model"], mesh=serve_mesh)
         decoded = np.asarray(decoded)
         dt = time.time() - t0
@@ -232,9 +248,11 @@ def create_gradio_interface(config):
         cfg["method"] = method
         cfg["n_steps"] = int(n_steps)
         cfg["seed"] = int(seed)
-        if init_image:
-            cfg["init_image"] = str(init_image)
-            cfg["init_strength"] = float(init_strength)
+        # always assign (not only when set): cfg is the shared config
+        # object, so a cleared image widget must also clear a previous
+        # request's init_image
+        cfg["init_image"] = str(init_image) if init_image else None
+        cfg["init_strength"] = float(init_strength)
         cfg["output_dir"] = "samples_gradio"
         generate_samples(cfg)
         pngs = sorted(glob.glob("samples_gradio/sample_*.png"))
