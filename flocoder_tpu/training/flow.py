@@ -100,7 +100,8 @@ def make_flow_train_step(model_apply: Callable, tx,
                          steps_per_call: int = 1,
                          ot_method: str = "parallel",
                          blank_latents: Optional[jax.Array] = None,
-                         otf_aug: Optional[dict] = None):
+                         otf_aug: Optional[dict] = None,
+                         paired_source: bool = False):
     """Build the jitted train step.
 
     ``model_apply(params, x, t_vec, cond)`` and (optionally)
@@ -140,7 +141,17 @@ def make_flow_train_step(model_apply: Callable, tx,
     ``blank_latents`` — the encoded blank image, reference :275-279) and
     p_zeros becomes identity (mask:=0, source:=target); fractions are exact
     per shard via rank-threshold selection (the reference's host-side
-    ``np.random.choice`` without replacement, train_flow.py:74-86)."""
+    ``np.random.choice`` without replacement, train_flow.py:74-86).
+
+    ``paired_source``: reflow/distillation mode (a capability the reference
+    lacks — its README.md:147 lists "reflow" as future work). Batches carry a
+    FIXED (source, target) coupling — e.g. (noise, model-generated sample)
+    pairs from ``tools/make_reflow_pairs.py`` — so the step trains on the
+    straightened path between them (Liu et al., Rectified Flow). The pairing
+    is sacrosanct: OT re-pairing is skipped (it would scramble the coupling)
+    and the CFG-dropout gate nulls the class token WITHOUT resampling the
+    source (a resample would break the pair; an independent-coupling batch
+    teaches nothing a reflow pass is for)."""
     if remat:
         model_apply = jax.checkpoint(model_apply)
     if donate is None:
@@ -221,6 +232,11 @@ def make_flow_train_step(model_apply: Callable, tx,
                 # mask blending: source + mask*(noise - source)
                 # (reference: inpainting.py:250-253, train_flow.py:156-158)
                 source = src + mask * (noise - src)
+            elif paired_source:
+                # reflow: the batch's stored noise IS the source; the
+                # (source, target) coupling must survive intact
+                mask = None
+                source = batch["source"].astype(target.dtype)
             else:
                 mask = None
                 source = noise
@@ -231,13 +247,14 @@ def make_flow_train_step(model_apply: Callable, tx,
                                        class_cond_in)
             else:
                 class_cond = None
-            source = jnp.where(drop,
-                               jax.random.normal(k_cfgnoise, source.shape,
-                                                 source.dtype), source)
+            if not paired_source:
+                source = jnp.where(drop,
+                                   jax.random.normal(k_cfgnoise, source.shape,
+                                                     source.dtype), source)
             if mask is not None:
                 mask = jnp.where(drop, jnp.ones_like(mask), mask)
 
-            if use_ot:
+            if use_ot and not paired_source:
                 # Minibatch-OT target pairing, on device
                 # (reference: train_flow.py:163-166). Divergence from the
                 # reference (documented): the class label is permuted WITH its
@@ -335,9 +352,12 @@ def make_flow_eval_step(model_apply: Callable,
                         mask_encoder_apply: Optional[Callable] = None,
                         eps: float = 1e-3, warp_s: float = 0.5,
                         t_scale: float = 999.0, use_ot: bool = True,
-                        ot_method: str = "parallel"):
+                        ot_method: str = "parallel",
+                        paired_source: bool = False):
     """Validation loss on a batch (reference: train_flow.py:404-418), same
-    interpolation path, no updates. Uses the given params (raw or EMA)."""
+    interpolation path, no updates. Uses the given params (raw or EMA).
+    ``paired_source`` mirrors the train step's reflow mode: the batch's
+    stored (source, target) coupling is used verbatim, no OT re-pairing."""
 
     def eval_fn(params: dict, batch: dict, rng: jax.Array):
         target = batch["target"]
@@ -350,10 +370,13 @@ def make_flow_eval_step(model_apply: Callable,
             mask = mask_encoder_apply(params["mask_encoder"], mask_pixels)
             src = batch["source"]
             source = src + mask * (noise - src)
+        elif paired_source:
+            mask = None
+            source = batch["source"].astype(target.dtype)
         else:
             mask = None
             source = noise
-        if use_ot:
+        if use_ot and not paired_source:
             idx = compute_ot_pairing(source, target, method=ot_method)
             target = target[idx]
             if class_cond is not None:

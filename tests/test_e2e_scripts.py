@@ -289,3 +289,69 @@ def test_generate_samples_init_image(tmp_path, monkeypatch):
     script._MODEL_CACHE.clear()
     script.generate_samples(gen_cfg)
     assert len(list((tmp_path / "out_init").glob("sample_*.png"))) == 2
+
+
+def test_reflow_pairs_tool_and_training(tmp_path, monkeypatch):
+    """Full reflow loop: trained checkpoint → tools/make_reflow_pairs.py
+    (paired noise→sample dataset on disk) → train_flow.train_flow() with
+    +reflow=true consuming the pairs (fixed couplings, no OT)."""
+    import jax.numpy as jnp
+    from flocoder_tpu.config import config_from_dict
+    from flocoder_tpu.models.unet import Unet
+    from flocoder_tpu.training.checkpoint import save_checkpoint
+
+    monkeypatch.chdir(tmp_path)
+    # teacher checkpoint (tiny, random weights — the tool only needs a
+    # loadable model)
+    cfg = config_from_dict({
+        "data": str(tmp_path / "toy"), "image_size": 8, "no_wandb": True,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "n_classes": 4, "dim_mults": [1, 2],
+    })
+    model = Unet(dim=8, channels=2, dim_mults=(1, 2), n_classes=4)
+    cond0 = {"class_cond": jnp.zeros((1,), jnp.int32), "mask_cond": None}
+    params = {"model": model.init(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 8, 8, 2)),
+                                  jnp.zeros((1,)), cond0)}
+    save_checkpoint(params, 1, ckpt_dir="checkpoints", prefix="flowema_",
+                    config=cfg)
+
+    # make sure the tool's `import generate_samples` resolves to THIS repo
+    sys.modules.setdefault("generate_samples",
+                           _load_script("generate_samples"))
+    spec = importlib.util.spec_from_file_location(
+        "fc_tool_reflow", os.path.join(ROOT, "tools", "make_reflow_pairs.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    out_dir = str(tmp_path / "pairs")
+    pairs_cfg = config_from_dict({
+        "out_dir": out_dir, "n_pairs": 40, "batch_size": 8, "n_steps": 2,
+        "method": "euler", "val_frac": 0.1, "seed": 0,
+    })
+    sys.modules["generate_samples"]._MODEL_CACHE.clear()
+    tool.make_reflow_pairs(pairs_cfg)
+    import glob as _glob
+    train_files = _glob.glob(os.path.join(out_dir, "train", "*", "*.npz"))
+    val_files = _glob.glob(os.path.join(out_dir, "val", "*", "*.npz"))
+    assert len(train_files) + len(val_files) == 40
+    assert val_files, "val split missing"
+    with np.load(train_files[0]) as z:
+        assert set(z.files) == {"target_latents", "source_latents"}
+        assert z["target_latents"].shape == (8, 8, 2)
+
+    # retrain on the pairs (reflow step: paired_source, no OT)
+    flow = _load_script("train_flow")
+    reflow_cfg = config_from_dict({
+        "data": out_dir, "no_wandb": True, "seed": 0,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "n_classes": 4,
+        "flow": {"batch_size": 8, "epochs": 1, "learning_rate": 1e-3,
+                 "dim_mults": [1, 2], "reflow": True, "no_eval": True,
+                 "n_steps": 2, "num_workers": 1},
+        "preencoding": {},
+    })
+    state = flow.train_flow(reflow_cfg)
+    assert int(state.step) > 0

@@ -223,3 +223,63 @@ def test_otf_aug_curriculum_ramps_on_device():
     state, _ = step(state, batch, jax.random.PRNGKey(1))  # epoch 2
     state, aux3 = step(state, batch, jax.random.PRNGKey(2))  # epoch 3: off
     assert float(aux3["loss_flow"]) == 0.0
+
+
+def _zero_model():
+    def apply_fn(params, x, t, cond):
+        return jnp.zeros_like(x) * params["w"]
+    return apply_fn, {"model": {"w": jnp.ones(())}}
+
+
+def test_paired_source_keeps_coupling_and_skips_ot():
+    """Reflow mode: the batch's (source, target) pairs are used verbatim.
+    Construct pairs where OT re-pairing would swap them (cross-matched
+    minima) — with a zero model the loss is exactly mean((target-source)²)
+    under the ORIGINAL pairing, so any OT scramble or noise resample would
+    change it."""
+    apply_fn, params = _zero_model()
+    tx = make_flow_optimizer(1e-2)
+    step = make_flow_train_step(apply_fn, tx, use_ot=True, donate=False,
+                                cfg_dropout=0.0, paired_source=True)
+    B = 8
+    src = jnp.stack([jnp.full((4, 4, 2), float(i)) for i in range(B)])
+    # target i is CLOSEST to source (i+1)%B: OT would re-pair, reflow must not
+    tgt = jnp.stack([jnp.full((4, 4, 2), float((i + 1) % B) + 0.1)
+                     for i in range(B)])
+    batch = {"target": tgt, "source": src}
+    state = create_flow_state(params, tx)
+    _, aux = step(state, batch, jax.random.PRNGKey(0))
+    expect = float(jnp.mean((tgt - src) ** 2))
+    np.testing.assert_allclose(float(aux["loss_flow"]), expect, rtol=1e-5)
+    # sanity: after an OT re-pair the per-pair gap would be ~0.1 (loss
+    # ~0.01), so the ~14.8 closed-form value proves the coupling survived
+    assert expect > 1.0
+
+
+def test_paired_source_cfg_drop_does_not_resample():
+    """With cfg_dropout=1 (always drop) the class token is nulled but the
+    stored source must survive — a resample would randomize the zero-model
+    loss away from the closed form."""
+    apply_fn, params = _zero_model()
+    tx = make_flow_optimizer(1e-2)
+    step = make_flow_train_step(apply_fn, tx, use_ot=False, donate=False,
+                                cfg_dropout=1.0, paired_source=True)
+    B = 8
+    src = jnp.zeros((B, 4, 4, 2))
+    tgt = jnp.full((B, 4, 4, 2), 3.0)
+    batch = {"target": tgt, "source": src,
+             "class_cond": jnp.arange(B, dtype=jnp.int32)}
+    state = create_flow_state(params, tx)
+    _, aux = step(state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(aux["loss_flow"]), 9.0, rtol=1e-5)
+
+
+def test_paired_source_eval_step():
+    apply_fn, params = _zero_model()
+    eval_step = make_flow_eval_step(apply_fn, paired_source=True)
+    B = 8
+    src = jnp.zeros((B, 4, 4, 2))
+    tgt = jnp.full((B, 4, 4, 2), 2.0)
+    loss = eval_step(params, {"target": tgt, "source": src},
+                     jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(loss), 4.0, rtol=1e-5)

@@ -52,7 +52,10 @@ def train_flow(config):
 
     # ---- config -----------------------------------------------------------
     data_path = os.path.expanduser(config.data)
-    if "encoded" not in data_path:
+    # flow.reflow=true: rectified-flow distillation on a paired dataset
+    # from tools/make_reflow_pairs.py (already latents — no codec suffix)
+    reflow = bool(ldcfg(config, "reflow", False))
+    if "encoded" not in data_path and not reflow:
         data_path = f"{data_path}_encoded_{config.codec.choice}"
     batch_size = int(ldcfg(config, "batch_size", 256))
     n_classes = int(ldcfg(config, "n_classes", 0))
@@ -118,8 +121,14 @@ def train_flow(config):
 
     latent_shape = (H, W, C)
     inpainting = "mask_pixels" in batch0
+    # reflow needs paired batches: fixed couplings, no OT re-pairing
+    # (training/flow.py paired_source docs)
+    if reflow and ("source" not in batch0 or inpainting):
+        raise SystemExit("flow.reflow=true needs a paired dataset with "
+                         "source_latents and no masks — generate one with "
+                         "tools/make_reflow_pairs.py")
     print(f"latent shape HWC = {latent_shape}, inpainting = {inpainting}, "
-          f"n_batches/epoch = {len(train_loader)}")
+          f"reflow = {reflow}, n_batches/epoch = {len(train_loader)}")
 
     output_dir = f"output_{os.path.basename(data_path)}-{H}x{W}"
     os.makedirs(output_dir, exist_ok=True)
@@ -233,6 +242,7 @@ def train_flow(config):
         donate=ldcfg(config, "donate", None),
         ot_method=str(ldcfg(config, "ot_method", "parallel")),
         blank_latents=blank_latents, otf_aug=otf_aug,
+        paired_source=reflow,
         mesh=step_mesh)
     train_step = make_flow_train_step(train_model_apply, tx,
                                       steps_per_call=steps_per_call,
@@ -248,7 +258,8 @@ def train_flow(config):
         state = shard_state(mesh, state)
         print(f"FSDP parameter sharding over {mesh.shape}")
     eval_step = make_flow_eval_step(model_apply,
-                                    mask_encoder_apply=mask_encoder_apply)
+                                    mask_encoder_apply=mask_encoder_apply,
+                                    paired_source=reflow)
 
     use_wandb = not no_wandb
     if use_wandb:
@@ -270,8 +281,9 @@ def train_flow(config):
         """Yield (batch_for_dispatch, n_steps_it_contains)."""
         def strip(b):
             # PairDataset batches alias 'source' == target pixels; outside
-            # inpainting the step never reads it — drop before device_put
-            if not inpainting:
+            # inpainting/reflow the step never reads it — drop before
+            # device_put
+            if not (inpainting or reflow):
                 b.pop("source", None)
             return b
         if steps_per_call == 1:
@@ -320,7 +332,7 @@ def train_flow(config):
         if not bool(ldcfg(config, "no_eval", False)) and (
                 (epoch < 20) or (epoch % 10 == 0)):
             vb = next(iter(val_loader))
-            if not inpainting:
+            if not (inpainting or reflow):
                 vb.pop("source", None)
             if encode_fn is not None and "pixels" in vb:
                 vb = dict(vb)
