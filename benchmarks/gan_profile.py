@@ -6,13 +6,17 @@ folds. Timing uses the value-fetch barrier discipline (docs/BENCH_NOTES.md
 
     python benchmarks/gan_profile.py
 """
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from flocoder_tpu.config import config_from_dict
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flocoder_tpu.config import config_from_dict  # noqa: E402
 from flocoder_tpu.models.codecs import VQVAE
 from flocoder_tpu.models.discriminator import (
     VQGANPlusPatchDiscriminator, init_discriminator, make_disc_apply)
@@ -73,6 +77,17 @@ def main():
         (B, S, S, 3)).astype(np.float32) * 0.5)
     key = jax.random.PRNGKey(3)
 
+    # Steady-state VQ: codec.init leaves vq.initted=False, and every
+    # train-mode quantize on an un-initted state runs the k-means init
+    # branch — real training does that exactly once. Advance the state so
+    # every probe below measures the post-init path.
+    lat_hw0 = S // (2 ** 3)
+    z0 = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (B, lat_hw0, lat_hw0, 4)).astype(np.float32))
+    _, _, _, vq_initted = codec.quantize(params, z0, train=True, rng=key)
+    params = {**params, "vq": vq_initted}
+    del z0
+
     disc_train = make_disc_apply(disc, update_stats=True)
     disc_eval = make_disc_apply(disc, update_stats=False)
 
@@ -132,11 +147,50 @@ def main():
     timed("disc fwd+bwd wrt input (G pullback)", disc_input_grad,
           disc_vars, x)
 
+    # 6b. spectral loss fwd+bwd wrt recon (fp32 complex fft2 at 128² — the
+    # one loss term that can't ride the MXU)
+    from flocoder_tpu.metrics import spectral_loss
+
+    @jax.jit
+    def spec_fwdbwd(recon, target):
+        return _tree_scalar(jax.grad(
+            lambda r: spectral_loss(target, r))(recon))
+    timed("spectral loss fwd+bwd (wrt recon)", spec_fwdbwd, x, x)
+
+    # 6c. RVQ quantize with train=True (EMA stats + dead-code reseed)
+    lat_hw = S // (2 ** 3)
+    z_lat = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (B, lat_hw, lat_hw, 4)).astype(np.float32))
+
+    @jax.jit
+    def rvq_train(params, z, rng):
+        z_q, idx, loss, new_vq = codec.quantize(params, z, train=True,
+                                                rng=rng)
+        return loss + _tree_scalar(new_vq.codebooks)
+    timed("RVQ quantize train=True (EMA+reseed)", rvq_train, params,
+          z_lat, key)
+
     # 7. full GAN step (the bench headline)
     tx_g, tx_d = make_vqgan_optimizers(1e-4)
     state = create_vqgan_state(params, tx_g, disc_vars, tx_d)
     step = make_vqgan_gan_step(codec, tx_g, disc, disc_train, disc_eval,
                                tx_d, cfg, perc)
+
+    # 7a. optimizer folds alone (adamw G + D update/apply on frozen grads)
+    g_train = {"encoder": params["encoder"], "decoder": params["decoder"]}
+    fake_g_grads = jax.tree_util.tree_map(jnp.ones_like, g_train)
+    opt_g0 = tx_g.init(g_train)
+
+    @jax.jit
+    def opt_fold(gp, grads, opt):
+        upd, opt = tx_g.update(grads, opt, gp)
+        return _tree_scalar(jax.tree_util.tree_map(jnp.add, gp, upd))
+    timed("optimizer fold (G adamw update+apply)", opt_fold, g_train,
+          fake_g_grads, opt_g0)
+    # free the probe buffers — the full step barely fits HBM at 128² B=64
+    # (an extra Adam state + grads-sized tree here OOMs it)
+    del g_train, fake_g_grads, opt_g0, z_lat
+    jax.clear_caches()  # drop the probe executables' device allocations too
 
     def run_step(state, x, key):
         new_state, aux, _ = step(state, x, key)
