@@ -23,6 +23,7 @@ import jax.numpy as jnp
 __all__ = [
     "pairwise_sqdist",
     "compute_ot_pairing",
+    "compute_ot_pairing_blocked",
     "compute_ot_pairing_greedy",
     "compute_ot_pairing_parallel",
     "compute_ot_pairing_sinkhorn",
@@ -131,6 +132,35 @@ def compute_ot_pairing_parallel(source: jax.Array,
     return jnp.where(row_done, indices, fallback.astype(jnp.int32))
 
 
+@partial(jax.jit, static_argnames=("block",))
+def compute_ot_pairing_blocked(source: jax.Array, target: jax.Array,
+                               block: int = 256) -> jax.Array:
+    """Block-diagonal pairing for large batches: row i may only pair inside
+    its aligned block of ``block`` rows/columns, giving B/block independent
+    propose-accept problems solved batched under ``vmap`` — O(B·block)
+    distance work instead of O(B²), and the round count of a ``block``-sized
+    problem instead of a B-sized one.
+
+    Minibatch OT is already an approximation whose coupling quality improves
+    with batch size; restricting the coupling to blocks trades a little of
+    that quality back for step time — the standard knob when B outgrows the
+    pairing cost (the reference never needs it at B=256; this exists for the
+    B≥1024 TPU configs, see docs/BENCH_NOTES.md B=1024 row). Within a block
+    the assignment is exactly ``compute_ot_pairing_parallel``. Requires
+    ``block`` | B; ``block >= B`` degenerates to full-batch pairing."""
+    B = source.shape[0]
+    if block >= B:
+        return compute_ot_pairing_parallel(source, target)
+    if B % block != 0:
+        raise ValueError(f"ot block {block} must divide batch {B}")
+    g = B // block
+    src = source.reshape(g, block, -1)
+    tgt = target.reshape(g, block, -1)
+    idx = jax.vmap(compute_ot_pairing_parallel)(src, tgt)   # (g, block)
+    offs = (jnp.arange(g, dtype=jnp.int32) * block)[:, None]
+    return (idx + offs).reshape(B)
+
+
 @partial(jax.jit, static_argnames=("n_iters",))
 def compute_ot_pairing_sinkhorn(source: jax.Array, target: jax.Array,
                                 reg: float = 0.1, n_iters: int = 100) -> jax.Array:
@@ -156,13 +186,18 @@ def compute_ot_pairing_sinkhorn(source: jax.Array, target: jax.Array,
 
 
 def compute_ot_pairing(source: jax.Array, target: jax.Array,
-                       method: str = "parallel") -> jax.Array:
+                       method: str = "parallel",
+                       block: int | None = None) -> jax.Array:
     """Main entry (reference: ot.py:80-84). ``method`` ∈ {'parallel',
     'greedy', 'sinkhorn'}; 'parallel' (propose-accept rounds, same greedy
     family at a fraction of the step latency) is the TPU default; 'greedy'
-    is the sequential reference-semantics oracle."""
+    is the sequential reference-semantics oracle. ``block`` (parallel method
+    only): restrict pairing to aligned sub-batches of that size — the
+    large-batch cost knob (see compute_ot_pairing_blocked)."""
     if method == "sinkhorn":
         return compute_ot_pairing_sinkhorn(source, target)
     if method == "greedy":
         return compute_ot_pairing_greedy(source, target)
+    if block is not None:
+        return compute_ot_pairing_blocked(source, target, block=block)
     return compute_ot_pairing_parallel(source, target)

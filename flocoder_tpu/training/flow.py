@@ -99,6 +99,7 @@ def make_flow_train_step(model_apply: Callable, tx,
                          mesh=None, axis_name: Optional[str] = None,
                          steps_per_call: int = 1,
                          ot_method: str = "parallel",
+                         ot_block: Optional[int] = None,
                          blank_latents: Optional[jax.Array] = None,
                          otf_aug: Optional[dict] = None,
                          paired_source: bool = False):
@@ -263,10 +264,12 @@ def make_flow_train_step(model_apply: Callable, tx,
                 # ot_method='parallel' (default): propose-accept rounds,
                 # ≤2% transport-cost delta vs the sequential oracle at a
                 # fraction of the latency (ops/ot.py); 'greedy' = reference
-                # row-ordered semantics.
+                # row-ordered semantics. ot_block (config flow.ot_block):
+                # pair within aligned sub-batches of that size — the
+                # large-batch O(B²)→O(B·block) cost knob.
                 idx = compute_ot_pairing(jax.lax.stop_gradient(source),
                                          jax.lax.stop_gradient(target),
-                                         method=ot_method)
+                                         method=ot_method, block=ot_block)
                 target = target[idx]
                 if class_cond is not None:
                     class_cond = class_cond[idx]

@@ -283,3 +283,29 @@ def test_paired_source_eval_step():
     loss = eval_step(params, {"target": tgt, "source": src},
                      jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(loss), 4.0, rtol=1e-5)
+
+
+def test_ot_block_step_runs_and_is_deterministic():
+    """flow.ot_block wiring: the blocked-pairing step runs, is rng-
+    deterministic, and block=B reproduces the full-batch pairing exactly
+    (compute_ot_pairing_blocked degenerates to the parallel pairing)."""
+    apply_fn, params = _tiny_model()
+    tx = make_flow_optimizer(1e-2)
+    batch = {"target": jax.random.normal(jax.random.PRNGKey(3),
+                                         (16, 4, 4, 2))}
+    state = create_flow_state(params, tx)
+    step_blocked = make_flow_train_step(apply_fn, tx, donate=False,
+                                        cfg_dropout=0.0, ot_block=8)
+    _, aux = step_blocked(state, batch, jax.random.PRNGKey(7))
+    assert np.isfinite(float(aux["loss"]))
+    _, aux2 = step_blocked(state, batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(aux["loss"]), float(aux2["loss"]),
+                               rtol=1e-6)
+    step_degenerate = make_flow_train_step(apply_fn, tx, donate=False,
+                                           cfg_dropout=0.0, ot_block=16)
+    step_full = make_flow_train_step(apply_fn, tx, donate=False,
+                                     cfg_dropout=0.0)
+    _, aux_d = step_degenerate(state, batch, jax.random.PRNGKey(7))
+    _, aux_f = step_full(state, batch, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(aux_d["loss"]), float(aux_f["loss"]),
+                               rtol=1e-6)

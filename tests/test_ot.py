@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flocoder_tpu.ops.ot import (
-    compute_ot_pairing, compute_ot_pairing_greedy,
+    compute_ot_pairing, compute_ot_pairing_blocked, compute_ot_pairing_greedy,
     compute_ot_pairing_parallel, compute_ot_pairing_sinkhorn, pairwise_sqdist,
 )
 from flocoder_tpu.ops.sinkhorn import sinkhorn_divergence, sinkhorn_loss_chunked
@@ -126,3 +126,53 @@ def test_sinkhorn_chunked_matches_unchunked_scale():
     full = float(sinkhorn_divergence(x, y))
     chunked = float(sinkhorn_loss_chunked(x, y, chunk_size=32))
     assert abs(full - chunked) / max(full, 1e-6) < 0.5
+
+
+def test_blocked_is_valid_permutation_and_stays_in_block():
+    rng = jax.random.PRNGKey(10)
+    s = jax.random.normal(rng, (128, 12))
+    t = jax.random.normal(jax.random.PRNGKey(11), (128, 12))
+    idx = np.asarray(compute_ot_pairing_blocked(s, t, block=32))
+    assert sorted(idx.tolist()) == list(range(128))
+    # every row's match lives inside its own aligned 32-block
+    rows = np.arange(128)
+    assert (idx // 32 == rows // 32).all()
+
+
+def test_blocked_equals_per_block_parallel():
+    rng = jax.random.PRNGKey(12)
+    s = jax.random.normal(rng, (96, 8))
+    t = jax.random.normal(jax.random.PRNGKey(13), (96, 8))
+    idx = np.asarray(compute_ot_pairing_blocked(s, t, block=48))
+    for g in range(2):
+        lo = g * 48
+        sub = np.asarray(
+            compute_ot_pairing_parallel(s[lo:lo + 48], t[lo:lo + 48]))
+        np.testing.assert_array_equal(idx[lo:lo + 48], sub + lo)
+
+
+def test_blocked_degenerates_to_full_and_rejects_misaligned():
+    import pytest
+    rng = jax.random.PRNGKey(14)
+    s = jax.random.normal(rng, (64, 6))
+    t = jax.random.normal(jax.random.PRNGKey(15), (64, 6))
+    np.testing.assert_array_equal(
+        np.asarray(compute_ot_pairing_blocked(s, t, block=64)),
+        np.asarray(compute_ot_pairing_parallel(s, t)))
+    np.testing.assert_array_equal(
+        np.asarray(compute_ot_pairing(s, t, block=32)),
+        np.asarray(compute_ot_pairing_blocked(s, t, block=32)))
+    with pytest.raises(ValueError):
+        compute_ot_pairing_blocked(s, t, block=48)
+
+
+def test_blocked_cost_between_full_pairing_and_unpaired():
+    rng = jax.random.PRNGKey(16)
+    s = jax.random.normal(rng, (256, 16))
+    t = jax.random.normal(jax.random.PRNGKey(17), (256, 16))
+    cost = lambda idx: float(jnp.mean(jnp.sum((s - t[idx]) ** 2, -1)))
+    full = cost(compute_ot_pairing_parallel(s, t))
+    blocked = cost(compute_ot_pairing_blocked(s, t, block=64))
+    base = float(jnp.mean(jnp.sum((s - t) ** 2, -1)))
+    assert full <= blocked * 1.02  # full-batch coupling is at least as good
+    assert blocked < base          # but blocks still beat no pairing by far

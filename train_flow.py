@@ -241,6 +241,7 @@ def train_flow(config):
         encode_fn=encode_fn,
         donate=ldcfg(config, "donate", None),
         ot_method=str(ldcfg(config, "ot_method", "parallel")),
+        ot_block=(int(ldcfg(config, "ot_block", 0)) or None),
         blank_latents=blank_latents, otf_aug=otf_aug,
         paired_source=reflow,
         mesh=step_mesh)
