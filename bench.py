@@ -313,12 +313,18 @@ def _bench_sampler_and_codecs():
     }
 
 
-def _bench_vqgan_gan_step(dtype=None):
+def _bench_vqgan_gan_step(dtype=None, tuned=False):
     """The 128² VQGAN GAN step at the production architecture
     (configs/common/vqgan.yaml) — the MXU-bound headline workload the tiny
     flow U-Net cannot show utilization on (VERDICT r2 weak #3). One jitted
     executable: codec fwd (vjp-captured), D step, G step, both Adam updates,
-    RVQ EMA fold."""
+    RVQ EMA fold.
+
+    ``tuned=True`` measures the TPU-tuned recipe (configs/tpu_vqgan.yaml)
+    instead of the reference-exact step: hardware RngBitGenerator keys for
+    the in-step noise/dropout draws (rng_impl=rbg, −15% codec fwd) and
+    ``share_real_features=true`` (G-step feature-matching targets reuse the
+    D step's real features — one fewer disc forward)."""
     import jax
     import jax.numpy as jnp
     from flocoder_tpu.config import config_from_dict
@@ -338,6 +344,7 @@ def _bench_vqgan_gan_step(dtype=None):
         "commitment_weight": 0.5, "image_size": S,
         "lambda_gen": 0.05, "lambda_l1": 0.2, "lambda_mse": 0.5,
         "lambda_perc": 1.0e-3, "lambda_spec": 5.0e-4, "lambda_vq": 0.25,
+        "share_real_features": bool(tuned),
     }})
     codec = VQVAE(in_channels=3, hidden_channels=256, num_downsamples=3,
                   internal_dim=128, vq_embedding_dim=4, codebook_levels=4,
@@ -361,19 +368,23 @@ def _bench_vqgan_gan_step(dtype=None):
 
     x = jnp.asarray(np.random.default_rng(2).standard_normal(
         (B, S, S, 3)).astype(np.float32) * 0.5)
-    cost = _cost_of(step, state, x, jax.random.PRNGKey(3))
+    # tuned recipe routes the in-step noise/dropout draws through the
+    # hardware RngBitGenerator (utils/rng.make_training_key semantics)
+    mk = ((lambda s: jax.random.key(s, impl="rbg")) if tuned
+          else jax.random.PRNGKey)
+    cost = _cost_of(step, state, x, mk(3))
     flops = float(cost.get("flops", -1.0))
     flops = flops if flops > 0 else None
     nbytes = float(cost.get("bytes accessed", -1.0))
     nbytes = nbytes if nbytes > 0 else None
-    state, aux, _ = step(state, x, jax.random.PRNGKey(3))  # compile+init
+    state, aux, _ = step(state, x, mk(3))  # compile+init
     float(aux["total"])
     times = []
     for trial in range(4):
         n_disp = 2
         t0 = time.perf_counter()
         for r in range(n_disp):
-            state, aux, _ = step(state, x, jax.random.PRNGKey(10 + r))
+            state, aux, _ = step(state, x, mk(10 + r))
         float(aux["total"])  # value fetch barrier
         times.append((time.perf_counter() - t0) / n_disp)
     times = sorted(times[1:])
@@ -524,6 +535,20 @@ def _run():
                 g_bytes, 1 / g_dt, hbm_bw)
     except Exception as e:  # noqa: BLE001
         print(f"vqgan gan-step bench failed: {e}", file=sys.stderr)
+
+    try:
+        # the TPU-tuned recipe (configs/tpu_vqgan.yaml): rbg training keys +
+        # shared real features — what a TPU user actually runs; the row
+        # above stays the reference-exact comparison point
+        t_sps, t_flops, t_dt, _ = _bench_vqgan_gan_step(jnp.bfloat16,
+                                                        tuned=True)
+        extra["vqgan_gan_step_tuned_samples_per_sec"] = round(t_sps, 1)
+        extra["vqgan_gan_step_tuned_ms"] = round(t_dt * 1e3, 2)
+        if t_flops:
+            extra["vqgan_gan_step_tuned_mfu_pct"] = _mfu_pct(
+                t_flops, 1 / t_dt, peak)
+    except Exception as e:  # noqa: BLE001
+        print(f"vqgan tuned gan-step bench failed: {e}", file=sys.stderr)
 
     try:
         extra.update(_bench_sampler_batch_sweep())
