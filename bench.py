@@ -141,7 +141,8 @@ def _timed_scan(body, K: int = 4, reps: int = 3):
 
 
 def _bench_flow_train(dtype=None, B: int = 256, K: int = 60,
-                      trials: int = 4, n_disp: int = 3):
+                      trials: int = 4, n_disp: int = 3,
+                      ot_block=None):
     import jax
     import jax.numpy as jnp
     from flocoder_tpu.models.unet import Unet
@@ -165,7 +166,7 @@ def _bench_flow_train(dtype=None, B: int = 256, K: int = 60,
     # optimizer steps; immune to the tunnel's completion-signal distortions
     # (docs/BENCH_NOTES.md round-2 timing trap).
     step = make_flow_train_step(lambda p, x, t, c: model.apply(p, x, t, c),
-                                tx, steps_per_call=K)
+                                tx, steps_per_call=K, ot_block=ot_block)
     rng = np.random.default_rng(0)
     batch = shard_batch(mesh, {
         "target": rng.standard_normal((K, B, H, H, C)).astype(np.float32),
@@ -241,17 +242,21 @@ def _bench_sampler_and_codecs():
             return img.ravel()[0].astype(jnp.int32), img.mean()
         t_e2e = _timed_scan(e2e_body, K=3)
 
-        heun_sps = ab4_sps = None
+        heun_sps = ab4_sps = euler4_sps = None
         if tag == "bf16":
             # NFE-efficiency options: 2nd-order Heun-25 = 48 NFE and
             # 4th-order Adams-Bashforth-25 (PLMS-style multistep,
             # sampling.generate_latents_ab4) = 33 NFE vs RK4-50's 196 —
             # flow paths are near-straight after OT pairing, so
-            # fewer/cheaper steps is the serving lever
-            for meth, slot in (("heun", "h"), ("ab4", "a")):
+            # fewer/cheaper steps is the serving lever. Euler-5 (4 NFE) is
+            # the REFLOW-DISTILLED serving config (tools/make_reflow_pairs
+            # + train_flow +reflow=true straighten paths until few-step
+            # Euler holds quality) — the row is its throughput ceiling.
+            for meth, steps, slot in (("heun", 25, "h"), ("ab4", 25, "a"),
+                                      ("euler", 5, "e")):
                 e2e_m = make_e2e_sampler(apply_p, sd, (H, H, C),
                                          batch_size=B, method=meth,
-                                         n_steps=25, cfg_strength=3.0,
+                                         n_steps=steps, cfg_strength=3.0,
                                          n_classes=n_classes)
 
                 def m_body(carry, key, _f=e2e_m):
@@ -261,14 +266,18 @@ def _bench_sampler_and_codecs():
                 sps = B / _timed_scan(m_body, K=3)
                 if slot == "h":
                     heun_sps = sps
-                else:
+                elif slot == "a":
                     ab4_sps = sps
-        per_dtype[tag] = (n_steps / t_lat, B / t_e2e, heun_sps, ab4_sps)
+                else:
+                    euler4_sps = sps
+        per_dtype[tag] = (n_steps / t_lat, B / t_e2e, heun_sps, ab4_sps,
+                          euler4_sps)
         del params, sd_params
     ode_steps_per_sec = max(v[0] for v in per_dtype.values())
     e2e_sps = max(v[1] for v in per_dtype.values())
     heun_sps = per_dtype["bf16"][2]
     ab4_sps = per_dtype["bf16"][3]
+    euler4_sps = per_dtype["bf16"][4]
 
     # rebuild the fp32 SD-VAE for the pre-encode measurement below
     sd = SDVAE(image_size=128, weights_path="")
@@ -307,6 +316,7 @@ def _bench_sampler_and_codecs():
         "e2e_sampler_bf16_samples_per_sec": round(per_dtype["bf16"][1], 1),
         "e2e_sampler_heun25_samples_per_sec": round(heun_sps, 1),
         "e2e_sampler_ab4_25_samples_per_sec": round(ab4_sps, 1),
+        "e2e_sampler_euler5_reflow_samples_per_sec": round(euler4_sps, 1),
         "preencode_samples_per_sec": round(preencode_sps, 1),
         "fused_vq_preencode_samples_per_sec": round(B / t_fused, 1),
         "unfused_vq_preencode_samples_per_sec": round(B / t_unf, 1),
@@ -519,6 +529,10 @@ def _run():
         if bytes_b1k:
             extra["flow_train_bf16_b1024_hbm_util_pct"] = _mfu_pct(
                 bytes_b1k, sps_b1k / 1024, hbm_bw)
+        # measured 2026-08-18: flow.ot_block=256 does NOT move this row
+        # (42.17k vs 42.19k samples/s) — at dim=16 the B=1024 step is
+        # activation-bandwidth-bound, not OT-bound, so no ot_block row here;
+        # the knob exists for configs with larger latents (ops/ot.py).
     except Exception as e:  # noqa: BLE001
         print(f"flow b1024 bench failed: {e}", file=sys.stderr)
 

@@ -143,10 +143,13 @@ def compute_ot_pairing_blocked(source: jax.Array, target: jax.Array,
 
     Minibatch OT is already an approximation whose coupling quality improves
     with batch size; restricting the coupling to blocks trades a little of
-    that quality back for step time — the standard knob when B outgrows the
-    pairing cost (the reference never needs it at B=256; this exists for the
-    B≥1024 TPU configs, see docs/BENCH_NOTES.md B=1024 row). Within a block
-    the assignment is exactly ``compute_ot_pairing_parallel``. Requires
+    that quality back for step time — the knob for when B·D outgrows the
+    pairing cost. At the flagship config it is NOT needed: hardware
+    measurement (2026-08-18) shows the B=1024 dim=16 step identical with and
+    without it (the parallel pairing already overlaps into the step); it
+    exists for larger-latent / higher-D configs where the O(B²D) distance
+    matmul and O(B²)-per-round assignment stop hiding. Within a block the
+    assignment is exactly ``compute_ot_pairing_parallel``. Requires
     ``block`` | B; ``block >= B`` degenerates to full-batch pairing."""
     B = source.shape[0]
     if block >= B:
