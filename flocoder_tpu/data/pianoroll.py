@@ -17,6 +17,11 @@ Behavioral rewrite on top of the first-party SMF reader/writer
   ``img_file_2_midi_file`` top level (:482-492).
 - Augmentations ``RandomBarCrop`` (:522-547) and ``StackPianoRollsImage``
   (:551-574).
+- Chord-color bars (reference: pianoroll.py:210-228, 287-302): WORKING here,
+  unlike the reference, whose ``from .chords import chord_num_to_color, …``
+  is commented out (pianoroll.py:17) so its ``show_chords`` path NameErrors.
+  ``chord_num_to_color`` (hue wheel), ``simplify_chord`` (root:quality) and
+  ``load_chord_annotations`` (POP909 ``*_chords.txt`` TSV) are first-party.
 - ``calc_note_metrics`` (reference: metrics.py:362-455): onset/sustain
   sensitivity/specificity/precision/F1 plus TP/FP/FN mask images.
 """
@@ -36,6 +41,7 @@ __all__ = [
     "square_to_rect", "rect_to_square", "regroup_lines", "filter_redgreen",
     "RandomBarCrop", "stack_piano_rolls", "calc_note_metrics",
     "square_to_rect_file",
+    "chord_num_to_color", "simplify_chord", "load_chord_annotations",
 ]
 
 CHORD_BORDER = 1        # (reference: pianoroll.py:18)
@@ -165,13 +171,93 @@ def _roll_to_rgb(pr: np.ndarray, add_onsets: bool = True,
     return rgb
 
 
+def chord_num_to_color(chord_num: int, n_chords: int = 25) -> tuple:
+    """Chord index → a saturated RGB color on an evenly-spaced hue wheel.
+
+    First-party replacement for the reference's missing ``chords`` module
+    (pianoroll.py:17 imports it commented-out; :220 calls it anyway). Evenly
+    spacing hues keeps adjacent chord indices visually distinct; "N" (no
+    chord, by convention index 0 when built via load_chord_annotations'
+    sorted vocabulary) lands on pure red."""
+    import colorsys
+    h = (int(chord_num) % max(n_chords, 1)) / max(n_chords, 1)
+    r, g, b = colorsys.hsv_to_rgb(h, 0.85, 1.0)
+    return (int(r * 255), int(g * 255), int(b * 255))
+
+
+def simplify_chord(name: str) -> str:
+    """'C:maj7(b5)/3' → 'C:maj' — keep root + base quality, drop extensions,
+    alterations and inversions. 'N' (no chord) passes through. Documented
+    first-party semantics; the reference's ``simplify_chord`` lives in a
+    module absent from its repo (pianoroll.py:17)."""
+    name = name.strip()
+    if ":" not in name:
+        return name
+    root, qual = name.split(":", 1)
+    qual = qual.split("/")[0].split("(")[0]
+    base = ""
+    for ch in qual:
+        if ch.isdigit():
+            break
+        base += ch
+    return f"{root}:{base}" if base else root
+
+
+def load_chord_annotations(chords_path: str, fs: float, all_chords: list,
+                           simplify: bool = False) -> list:
+    """Parse a POP909-style ``*_chords.txt`` (TSV: start_time, end_time,
+    chord label; times in seconds) into frame-indexed dicts
+    {'start','end','chord_name','chord_num'} (reference: pianoroll.py:
+    287-302). Labels missing from ``all_chords`` get num -1 (gray bar)
+    instead of the reference's ValueError-on-.index behavior."""
+    with open(chords_path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    chords = []
+    for ln in lines:
+        start, end, chord = ln.split("\t")[:3]
+        name = simplify_chord(chord) if simplify else chord
+        chords.append({
+            "start": int(np.floor(float(start) * fs)),
+            "end": int(np.ceil(float(end) * fs)),
+            "chord_name": name,
+            "chord_num": all_chords.index(name) if name in all_chords else -1,
+        })
+    return chords
+
+
+def _paint_chord_bars(img: Image.Image, chords: list, chord_names: bool,
+                      n_chords: int) -> Image.Image:
+    """Paste per-chord color rectangles into the top and bottom CHORD_BORDER
+    rows (reference: pianoroll.py:210-228). Unknown chords (num -1) paint
+    gray."""
+    w, h = img.size
+    for c in chords:
+        num = int(c["chord_num"])
+        color = (128, 128, 128) if num < 0 else chord_num_to_color(num,
+                                                                   n_chords)
+        x0, x1 = max(int(c["start"]), 0), min(int(c["end"]), w)
+        if x1 <= x0:
+            continue
+        img.paste(color, (x0, h - CHORD_BORDER, x1, h))
+        img.paste(color, (x0, 0, x1, CHORD_BORDER))
+        if chord_names:
+            from PIL import ImageDraw
+            ImageDraw.Draw(img).text((x0, 0), c["chord_name"].replace(":", ""),
+                                     fill=(255, 255, 255))
+    return img
+
+
 def piano_roll_to_img(pr: np.ndarray, output_dir: str, midi_name: str,
                       instrument: str, start_col: Optional[int] = None,
                       add_onsets: bool = True,
-                      onset_style: str = ONSET_STYLE) -> Optional[str]:
+                      onset_style: str = ONSET_STYLE,
+                      chords: Optional[list] = None,
+                      chord_names: bool = False,
+                      n_chords: int = 25) -> Optional[str]:
     """Save one instrument roll as a PNG, vertically flipped for display
-    (reference: pianoroll.py:157-240; chord-color bars omitted — the
-    reference notes they 'never worked well', pianoroll.py:17-18)."""
+    (reference: pianoroll.py:157-240). Optional chord-color bars in the
+    CHORD_BORDER top/bottom rows (:210-228) — working here, see module
+    docstring."""
     os.makedirs(os.path.join(output_dir, midi_name), exist_ok=True)
     fname = os.path.join(output_dir, midi_name,
                          f"{midi_name}_{instrument}.png")
@@ -181,15 +267,24 @@ def piano_roll_to_img(pr: np.ndarray, output_dir: str, midi_name: str,
     img = Image.fromarray(rgb, "RGB").transpose(Image.FLIP_TOP_BOTTOM)
     if 0 in img.size:
         return None
+    if chords is not None:
+        img = _paint_chord_bars(img, chords, chord_names, n_chords)
     img.save(fname)
     return fname
 
 
 def midi_to_pr_img(midi_file: str, output_dir: str, add_onsets: bool = True,
                    filter_mp: bool = True,
-                   remove_leading_silence: bool = True) -> list:
+                   remove_leading_silence: bool = True,
+                   show_chords: bool = False,
+                   all_chords: Optional[list] = None,
+                   chord_names: bool = False,
+                   simplify_chords: bool = False) -> list:
     """MIDI file → per-instrument piano-roll PNGs, tempo-normalized to
-    fs = 8·bps (reference: pianoroll.py:260-319)."""
+    fs = 8·bps (reference: pianoroll.py:260-319). With ``show_chords`` +
+    ``all_chords``, reads the sibling ``*_chords.txt`` annotation file and
+    paints chord-color bars (:287-302) — note remove_leading_silence shifts
+    note frames but not chord times, matching the reference's behavior."""
     midi = read_midi(midi_file)
     has_melody = any(i.name.upper() == "MELODY" for i in midi.instruments)
     has_piano = any(i.name.upper() == "PIANO" for i in midi.instruments)
@@ -201,15 +296,24 @@ def midi_to_pr_img(midi_file: str, output_dir: str, add_onsets: bool = True,
     _, tempi = midi.get_tempo_changes()
     bps = float(tempi[0]) / 60.0
     fs = bps * 4.0 * 2  # 8 frames per beat (reference :284)
+    chords = None
+    if show_chords and all_chords is not None:
+        chords_path = midi_file.replace(".mid", "_chords.txt")
+        if os.path.exists(chords_path):
+            chords = load_chord_annotations(chords_path, fs, all_chords,
+                                            simplify=simplify_chords)
     if filter_mp:
         midi.instruments = [i for i in midi.instruments
                             if i.name.upper() in ("MELODY", "PIANO")]
     rolls = get_piano_rolls(midi, fs,
                             remove_leading_silence=remove_leading_silence)
     midi_name = os.path.basename(midi_file).split(".")[0]
+    n_chords = len(all_chords) if all_chords else 25
     return [p for inst, pr in rolls.items()
             if (p := piano_roll_to_img(pr, output_dir, midi_name, inst,
-                                       add_onsets=add_onsets))]
+                                       add_onsets=add_onsets, chords=chords,
+                                       chord_names=chord_names,
+                                       n_chords=n_chords))]
 
 
 # --------------------------------------------------------------------------

@@ -161,3 +161,47 @@ def test_midi_image_dataset_conversion(tmp_path):
     loader = Loader(ds, batch_size=2, num_workers=1, seed=0)
     b = next(iter(loader))
     assert b["target"].shape[0] == 2
+
+
+def test_chord_color_bars(tmp_path):
+    """Chord bars paint the CHORD_BORDER top/bottom rows with per-chord
+    colors; blockout_topbottom_arr strips them (reference pianoroll.py:
+    210-228 — broken there: its chords-module import is commented out)."""
+    from flocoder_tpu.data.pianoroll import (CHORD_BORDER,
+                                             blockout_topbottom_arr,
+                                             chord_num_to_color,
+                                             load_chord_annotations,
+                                             midi_to_pr_img, simplify_chord)
+
+    assert simplify_chord("C:maj7(b5)/3") == "C:maj"
+    assert simplify_chord("N") == "N"
+    assert simplify_chord("A:7") == "A"
+    c0, c1 = chord_num_to_color(0, 25), chord_num_to_color(1, 25)
+    assert c0 != c1 and all(0 <= v <= 255 for v in c0 + c1)
+
+    path, _ = _toy_midi(str(tmp_path))
+    # sibling chord annotation file, TSV seconds: two chords + one unknown
+    with open(str(tmp_path / "toy_chords.txt"), "w") as f:
+        f.write("0.0\t0.5\tC:maj\n0.5\t1.0\tG:min7\n1.0\t2.0\tX:odd\n")
+    vocab = ["N", "C:maj", "G:min"]
+    out = midi_to_pr_img(path, str(tmp_path / "imgs"), show_chords=True,
+                         all_chords=vocab, simplify_chords=True)
+    assert out
+    arr = np.asarray(Image.open(out[0]))
+    fs = 16.0  # 120 bpm → 2 bps → fs = 8·bps
+    # C:maj bar color in the top border over its first frame
+    assert tuple(arr[0, 0]) == chord_num_to_color(1, len(vocab))
+    assert tuple(arr[-1, 0]) == chord_num_to_color(1, len(vocab))
+    # G:min7 simplifies to G:min (vocab index 2)
+    assert tuple(arr[0, int(0.5 * fs)]) == chord_num_to_color(2, len(vocab))
+    # unknown chord paints gray
+    assert tuple(arr[0, int(1.0 * fs) + 1]) == (128, 128, 128)
+    # blockout strips the bars for the img→MIDI path
+    stripped = blockout_topbottom_arr(arr)
+    assert (stripped[:CHORD_BORDER] == 0).all()
+    assert (stripped[-CHORD_BORDER:] == 0).all()
+
+    chords = load_chord_annotations(str(tmp_path / "toy_chords.txt"), fs,
+                                    vocab, simplify=True)
+    assert [c["chord_num"] for c in chords] == [1, 2, -1]
+    assert chords[0]["start"] == 0 and chords[0]["end"] == 8
