@@ -242,7 +242,7 @@ def _bench_sampler_and_codecs():
             return img.ravel()[0].astype(jnp.int32), img.mean()
         t_e2e = _timed_scan(e2e_body, K=3)
 
-        heun_sps = ab4_sps = euler4_sps = None
+        heun_sps = ab4_sps = euler4_sps = int8_sps = None
         if tag == "bf16":
             # NFE-efficiency options: 2nd-order Heun-25 = 48 NFE and
             # 4th-order Adams-Bashforth-25 (PLMS-style multistep,
@@ -270,6 +270,20 @@ def _bench_sampler_and_codecs():
                     ab4_sps = sps
                 else:
                     euler4_sps = sps
+            # W8A8 int8 serving decode (ops/quant.py; measured 1.27-1.29×
+            # over bf16 conv on v5e) on the best serving config (AB4-25) —
+            # same params (the quant decoder's pytree is identical)
+            sd_q = SDVAE(image_size=128, weights_path="", dtype=dtype,
+                         quant_decode=True)
+            e2e_q = make_e2e_sampler(apply_p, sd_q, (H, H, C), batch_size=B,
+                                     method="ab4", n_steps=25,
+                                     cfg_strength=3.0, n_classes=n_classes)
+
+            def q_body(carry, key):
+                _, img = e2e_q(params, sd_params,
+                               jax.random.fold_in(key, carry), cls)
+                return img.ravel()[0].astype(jnp.int32), img.mean()
+            int8_sps = B / _timed_scan(q_body, K=3)
         per_dtype[tag] = (n_steps / t_lat, B / t_e2e, heun_sps, ab4_sps,
                           euler4_sps)
         del params, sd_params
@@ -316,6 +330,7 @@ def _bench_sampler_and_codecs():
         "e2e_sampler_bf16_samples_per_sec": round(per_dtype["bf16"][1], 1),
         "e2e_sampler_heun25_samples_per_sec": round(heun_sps, 1),
         "e2e_sampler_ab4_25_samples_per_sec": round(ab4_sps, 1),
+        "e2e_sampler_ab4_25_int8_samples_per_sec": round(int8_sps, 1),
         "e2e_sampler_euler5_reflow_samples_per_sec": round(euler4_sps, 1),
         "preencode_samples_per_sec": round(preencode_sps, 1),
         "fused_vq_preencode_samples_per_sec": round(B / t_fused, 1),

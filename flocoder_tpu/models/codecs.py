@@ -549,7 +549,10 @@ def setup_codec(config, load_checkpoint: bool = True,
                                                           image_size))
     if choice == "sd":
         from .sd_vae import SDVAE
-        return SDVAE(image_size=image_size, dtype=dtype)
+        # codec.quant_decode=int8: W8A8 serving decode (ops/quant.py) —
+        # measured 1.27-1.29× over bf16 conv on v5e; param tree unchanged
+        quant = str(ldcfg(config, "quant_decode", "")) == "int8"
+        return SDVAE(image_size=image_size, dtype=dtype, quant_decode=quant)
     if choice in ("vqgan", "vqgan_plus"):
         kw = dict(
             dtype=dtype,

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.quant import QuantConv
 from .codecs import gn_groups
 
 __all__ = ["SDVAE", "SDVAEEncoder", "SDVAEDecoder", "load_sd_vae_weights",
@@ -33,22 +34,34 @@ __all__ = ["SDVAE", "SDVAEEncoder", "SDVAEDecoder", "load_sd_vae_weights",
 _CH = (128, 256, 512, 512)
 
 
+def _conv(quant: bool, features, kernel_size, name, dtype, **kw):
+    """nn.Conv or its W8A8 drop-in (ops/quant.py), under an EXPLICIT name
+    matching nn.Conv's autonames ("Conv_<i>") so the parameter pytree — and
+    every checkpoint/converter — is identical either way."""
+    cls = QuantConv if quant else nn.Conv
+    return cls(features, kernel_size, name=name, dtype=dtype, **kw)
+
+
 class _Resnet(nn.Module):
     out_ch: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = nn.GroupNorm(num_groups=gn_groups(32, x.shape[-1]), epsilon=1e-6,
                          dtype=self.dtype)(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype)(h)
+        h = _conv(self.quant, self.out_ch, (3, 3), "Conv_0", self.dtype,
+                  padding=1)(h)
         h = nn.GroupNorm(num_groups=gn_groups(32, h.shape[-1]), epsilon=1e-6,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype)(h)
+        h = _conv(self.quant, self.out_ch, (3, 3), "Conv_1", self.dtype,
+                  padding=1)(h)
         if x.shape[-1] != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype)(x)
+            x = _conv(self.quant, self.out_ch, (1, 1), "Conv_2",
+                      self.dtype)(x)
         return x + h
 
 
@@ -104,29 +117,43 @@ class SDVAEDecoder(nn.Module):
     latent_channels: int = 4
     channels: tuple = _CH
     dtype: Any = jnp.float32
+    # W8A8 int8 convs for serving (ops/quant.py); param tree unchanged.
+    # The attention block and the output head stay in self.dtype.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, z):
         _ch = tuple(self.channels)
-        # post_quant_conv
-        h = nn.Conv(self.latent_channels, (1, 1), dtype=self.dtype)(z)
-        h = nn.Conv(_ch[-1], (3, 3), padding=1, dtype=self.dtype)(h)
-        h = _Resnet(_ch[-1], self.dtype)(h)
+        n_conv = 0  # explicit names must mirror nn.Conv autonaming
+
+        def cname():
+            nonlocal n_conv
+            n_conv += 1
+            return f"Conv_{n_conv - 1}"
+
+        # post_quant_conv (4→4: below the quant channel floor either way)
+        h = _conv(self.quant, self.latent_channels, (1, 1), cname(),
+                  self.dtype)(z)
+        h = _conv(self.quant, _ch[-1], (3, 3), cname(), self.dtype,
+                  padding=1)(h)
+        h = _Resnet(_ch[-1], self.dtype, self.quant)(h)
         h = _Attn(self.dtype)(h)
-        h = _Resnet(_ch[-1], self.dtype)(h)
+        h = _Resnet(_ch[-1], self.dtype, self.quant)(h)
         for i, ch in enumerate(reversed(_ch)):
-            h = _Resnet(ch, self.dtype)(h)
-            h = _Resnet(ch, self.dtype)(h)
-            h = _Resnet(ch, self.dtype)(h)
+            h = _Resnet(ch, self.dtype, self.quant)(h)
+            h = _Resnet(ch, self.dtype, self.quant)(h)
+            h = _Resnet(ch, self.dtype, self.quant)(h)
             if i < len(_ch) - 1:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
-                h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype)(h)
+                h = _conv(self.quant, c, (3, 3), cname(), self.dtype,
+                          padding=1)(h)
         h = nn.GroupNorm(num_groups=gn_groups(32, h.shape[-1]), epsilon=1e-6,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
+        # output head: high precision protects final pixel values
         return nn.Conv(self.out_channels, (3, 3), padding=1,
-                       dtype=self.dtype)(h)
+                       dtype=self.dtype, name=cname())(h)
 
 
 class SDVAE:
@@ -137,13 +164,15 @@ class SDVAE:
 
     def __init__(self, image_size: int = 128, latent_channels: int = 4,
                  weights_path: str = "weights/sd_vae_ft_mse.npz",
-                 channels: tuple = _CH, dtype=jnp.float32):
+                 channels: tuple = _CH, dtype=jnp.float32,
+                 quant_decode: bool = False):
         self.image_size = image_size
         self.latent_channels = latent_channels
         self.weights_path = weights_path
         self.channels = tuple(channels)
         self.encoder = SDVAEEncoder(latent_channels, self.channels, dtype)
-        self.decoder = SDVAEDecoder(3, latent_channels, self.channels, dtype)
+        self.decoder = SDVAEDecoder(3, latent_channels, self.channels, dtype,
+                                    quant=quant_decode)
 
     def init(self, rng, sample) -> dict:
         k_e, k_d = jax.random.split(rng)

@@ -35,8 +35,14 @@ def load_models_once(config, flow_ckpt_path: str):
     # — a fp32 call after a bf16 one (webapp requests) must not reuse the
     # wrong-dtype models. None = defer to the checkpoint's own flag.
     bf16_cli = config.get("bf16", None)
+    # +quant=int8 requests the W8A8 serving decode (ops/quant.py) — like
+    # bf16, an explicit CLI value overrides the checkpoint's own
+    # codec.quant_decode flag in both directions.
+    quant_cli = config.get("quant", None)
+    quant_req = (None if quant_cli is None
+                 else str(quant_cli).lower() in ("int8", "true", "1"))
     cache_key = (flow_ckpt_path,
-                 None if bf16_cli is None else bool(bf16_cli))
+                 None if bf16_cli is None else bool(bf16_cli), quant_req)
     if cache_key in _MODEL_CACHE:
         return _MODEL_CACHE[cache_key]
     import jax
@@ -62,6 +68,11 @@ def load_models_once(config, flow_ckpt_path: str):
     dtype = jnp.bfloat16 if bf16 else jnp.float32
 
     codec = setup_codec(ck_config, dtype=dtype)
+    quant = (quant_req if quant_req is not None
+             else str(ldcfg(ck_config, "quant_decode", "")) == "int8")
+    if hasattr(codec, "decoder") and hasattr(codec.decoder, "quant") \
+            and codec.decoder.quant != quant:
+        codec.decoder = codec.decoder.clone(quant=quant)
     image_size = int(ldcfg(ck_config, "image_size", 128))
     H, W, C = codec.latent_shape(image_size) if hasattr(codec, "latent_shape") \
         else (16, 16, 4)
@@ -88,12 +99,14 @@ def load_models_once(config, flow_ckpt_path: str):
                   codec_params=codec_params, latent_shape=(H, W, C),
                   n_classes=n_classes, config=ck_config)
     _MODEL_CACHE[cache_key] = bundle
-    # alias: a later call whose explicit flag matches the checkpoint's own
+    # alias: a later call whose explicit flags match the checkpoint's own
     # resolution must not rebuild an identical bundle (and vice versa)
-    _MODEL_CACHE[(flow_ckpt_path, bf16)] = bundle
-    if bf16_cli is not None and bool(bf16_cli) == bool(
-            ldcfg(ck_config, "bf16", False)):
-        _MODEL_CACHE[(flow_ckpt_path, None)] = bundle
+    _MODEL_CACHE[(flow_ckpt_path, bf16, quant)] = bundle
+    if ((bf16_cli is None or bool(bf16_cli) == bool(
+            ldcfg(ck_config, "bf16", False)))
+            and (quant_req is None or quant_req == (
+                str(ldcfg(ck_config, "quant_decode", "")) == "int8"))):
+        _MODEL_CACHE[(flow_ckpt_path, None, None)] = bundle
     return bundle
 
 
