@@ -311,6 +311,15 @@ def _bench_sampler_and_codecs():
 
     t_enc = _timed_scan(_enc_body(lambda x: sd.encode(sd_params, x)), K=3)
     preencode_sps = B / t_enc
+
+    # W8A8 int8 pre-encode (codec.quant_encode=int8 / preencode +quant=int8):
+    # same params — the quant encoder's pytree is identical; bf16 base dtype
+    # (what a TPU user runs) and the bf16 baseline alongside for the ratio
+    sd_b = SDVAE(image_size=128, weights_path="", dtype=jnp.bfloat16)
+    t_enc_b = _timed_scan(_enc_body(lambda x: sd_b.encode(sd_params, x)), K=3)
+    sd_q = SDVAE(image_size=128, weights_path="", dtype=jnp.bfloat16,
+                 quant_encode=True)
+    t_enc_q = _timed_scan(_enc_body(lambda x: sd_q.encode(sd_params, x)), K=3)
     del sd_params
 
     # fused Pallas compress-tail+RVQ encode+quantize (VQGAN codec, 128²)
@@ -333,6 +342,8 @@ def _bench_sampler_and_codecs():
         "e2e_sampler_ab4_25_int8_samples_per_sec": round(int8_sps, 1),
         "e2e_sampler_euler5_reflow_samples_per_sec": round(euler4_sps, 1),
         "preencode_samples_per_sec": round(preencode_sps, 1),
+        "preencode_bf16_samples_per_sec": round(B / t_enc_b, 1),
+        "preencode_int8_samples_per_sec": round(B / t_enc_q, 1),
         "fused_vq_preencode_samples_per_sec": round(B / t_fused, 1),
         "unfused_vq_preencode_samples_per_sec": round(B / t_unf, 1),
     }

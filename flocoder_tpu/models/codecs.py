@@ -26,12 +26,21 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.neighborhood_attention import na2d
+from ..ops.quant import QuantConv
 from ..ops.rvq import RVQState, rvq_apply, rvq_init
 
 __all__ = ["gn_groups", "NoOpAE", "SimpleResizeAE", "VQVAE",
            "VQVAEEncoder", "VQVAEDecoder", "AttnBlock", "NATTENBlock",
            "EncDecResidualBlock", "NoiseInjection", "SpatialNonLocalAttention",
            "setup_codec"]
+
+
+def _conv(quant: bool, features, kernel_size, name, dtype, **kw):
+    """nn.Conv or its W8A8 int8 drop-in (ops/quant.py), under an EXPLICIT
+    name matching nn.Conv's autonames ("Conv_<i>") so the parameter pytree —
+    and every checkpoint/converter — is identical either way."""
+    cls = QuantConv if quant else nn.Conv
+    return cls(features, kernel_size, name=name, dtype=dtype, **kw)
 
 
 def gn_groups(proposed: int, channels: int) -> int:
@@ -174,12 +183,14 @@ class EncDecResidualBlock(nn.Module):
     attention: Optional[str] = None  # None | 'natten' | 'full'
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
+    # W8A8 int8 convs for inference (ops/quant.py); param tree unchanged
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         c_in = x.shape[-1]
-        h = nn.Conv(self.out_channels, (3, 3), strides=self.stride, padding=1,
-                    dtype=self.dtype)(x)
+        h = _conv(self.quant, self.out_channels, (3, 3), "Conv_0", self.dtype,
+                  strides=self.stride, padding=1)(x)
         h = nn.GroupNorm(num_groups=gn_groups(8, self.out_channels), epsilon=1e-5,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
@@ -189,12 +200,13 @@ class EncDecResidualBlock(nn.Module):
             h = NATTENBlock(dtype=self.dtype)(h)
         elif self.attention == "full":
             h = AttnBlock(dtype=self.dtype)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(h)
+        h = _conv(self.quant, self.out_channels, (3, 3), "Conv_1", self.dtype,
+                  padding=1)(h)
         h = nn.GroupNorm(num_groups=gn_groups(8, self.out_channels), epsilon=1e-5,
                          dtype=self.dtype)(h)
         if self.stride != 1 or c_in != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
-                        dtype=self.dtype)(x)
+            x = _conv(self.quant, self.out_channels, (1, 1), "Conv_2",
+                      self.dtype, strides=self.stride)(x)
             x = nn.GroupNorm(num_groups=gn_groups(8, self.out_channels), epsilon=1e-5,
                              dtype=self.dtype)(x)
         h = nn.silu(h + x)
@@ -297,6 +309,10 @@ class VQVAEEncoder(nn.Module):
     vq_embedding_dim: int = 4
     use_attention: bool = True
     dtype: Any = jnp.float32
+    # W8A8 int8 convs for the inference-only pre-encode pass (ops/quant.py).
+    # The compression head (→vq_embedding_dim, typically 4) falls below
+    # MIN_QUANT_CHANNELS and stays in self.dtype, protecting the latents.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -308,27 +324,30 @@ class VQVAEEncoder(nn.Module):
             attention = ("natten" if (self.use_attention and
                                       i >= self.num_downsamples - 2) else None)
             h = EncDecResidualBlock(out_ch, stride=2, attention=attention,
-                                    dropout_rate=0.05, dtype=self.dtype)(
-                                        h, deterministic)
+                                    dropout_rate=0.05, dtype=self.dtype,
+                                    quant=self.quant)(h, deterministic)
             h = EncDecResidualBlock(out_ch, stride=1, attention=attention,
-                                    dropout_rate=0.15, dtype=self.dtype)(
-                                        h, deterministic)
+                                    dropout_rate=0.15, dtype=self.dtype,
+                                    quant=self.quant)(h, deterministic)
         h = EncDecResidualBlock(self.internal_dim, stride=1,
                                 attention=attention, dropout_rate=0.15,
-                                dtype=self.dtype)(h, deterministic)
-        h = nn.Conv(self.internal_dim, (1, 1), dtype=self.dtype)(h)
+                                dtype=self.dtype, quant=self.quant)(
+                                    h, deterministic)
+        h = _conv(self.quant, self.internal_dim, (1, 1), "Conv_0",
+                  self.dtype)(h)
         if stop_before_compress:
             # hand-off point for the Pallas fused compress+VQ kernel
             # (ops.pallas.fused_vq.fused_compress_tail_vq consumes the
             # compression-head params directly)
             return h
         # compression head (reference: codecs.py:435-440)
-        h = nn.Conv(self.vq_embedding_dim, (1, 1), dtype=self.dtype)(h)
+        h = nn.Conv(self.vq_embedding_dim, (1, 1), dtype=self.dtype,
+                    name="Conv_1")(h)
         h = nn.GroupNorm(num_groups=gn_groups(2, self.vq_embedding_dim), epsilon=1e-5,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(self.vq_embedding_dim, (3, 3), padding=1,
-                    dtype=self.dtype)(h)
+                    dtype=self.dtype, name="Conv_2")(h)
         return h
 
 
@@ -346,11 +365,22 @@ class VQVAEDecoder(nn.Module):
     dtype: Any = jnp.float32
     ring_axis: Any = None
     ring_axis_size: int = 1
+    # W8A8 int8 convs for serving (ops/quant.py); param tree unchanged.
+    # Attention, NoiseInjection (zero-init 1×1s) and the output head stay
+    # in self.dtype.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, z, deterministic: bool = True,
                  noise_strength: float = 0.0):
         from .unet import pixel_shuffle  # local import to avoid cycle
+
+        n_conv = 0  # explicit names must mirror nn.Conv autonaming
+
+        def cname():
+            nonlocal n_conv
+            n_conv += 1
+            return f"Conv_{n_conv - 1}"
 
         h = z
         if self.decoder_nonlocal:
@@ -358,39 +388,45 @@ class VQVAEDecoder(nn.Module):
                 dtype=self.dtype, ring_axis=self.ring_axis,
                 ring_axis_size=self.ring_axis_size)(h)
         cur = self.hidden_channels * (2 ** (self.num_downsamples - 1))
-        h = nn.Conv(self.internal_dim, (1, 1), dtype=self.dtype)(h)
+        h = _conv(self.quant, self.internal_dim, (1, 1), cname(),
+                  self.dtype)(h)
         h = nn.GroupNorm(num_groups=gn_groups(self.vq_embedding_dim,
                                               self.internal_dim), epsilon=1e-5,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
-        h = nn.Conv(cur, (1, 1), dtype=self.dtype)(h)
+        h = _conv(self.quant, cur, (1, 1), cname(), self.dtype)(h)
         h = NoiseInjection(dtype=self.dtype)(h, noise_strength)
         first_attn = "full" if self.decoder_nonlocal else (
             "natten" if self.use_attention else None)
         h = EncDecResidualBlock(cur, attention=first_attn, dropout_rate=0.05,
-                                dtype=self.dtype)(h, deterministic)
+                                dtype=self.dtype, quant=self.quant)(
+                                    h, deterministic)
         for i in range(self.num_downsamples - 1, -1, -1):
             out_ch = self.hidden_channels * (2 ** max(0, i - 1))
             if i == 0:
                 out_ch = self.hidden_channels
             attn = ("natten" if (self.use_attention and
                                  i > self.num_downsamples - 2) else None)
-            h = nn.Conv(cur * 4, (3, 3), padding=1, dtype=self.dtype)(h)
+            h = _conv(self.quant, cur * 4, (3, 3), cname(), self.dtype,
+                      padding=1)(h)
             h = nn.silu(h)
             h = pixel_shuffle(h, 2)
             h = NoiseInjection(dtype=self.dtype)(h, noise_strength)
             h = EncDecResidualBlock(out_ch, attention=attn, dropout_rate=0.0,
-                                    dtype=self.dtype)(h, deterministic)
+                                    dtype=self.dtype, quant=self.quant)(
+                                        h, deterministic)
             h = NoiseInjection(dtype=self.dtype)(h, noise_strength)
             h = EncDecResidualBlock(out_ch, attention=None, dropout_rate=0.0,
-                                    dtype=self.dtype)(h, deterministic)
+                                    dtype=self.dtype, quant=self.quant)(
+                                        h, deterministic)
             cur = out_ch
         h = NoiseInjection(dtype=self.dtype)(h, noise_strength)
-        h = nn.Conv(64, (3, 3), padding=1, dtype=self.dtype)(h)
+        h = _conv(self.quant, 64, (3, 3), cname(), self.dtype, padding=1)(h)
         h = nn.silu(h)
         h = NoiseInjection(dtype=self.dtype)(h, noise_strength)
+        # output head: high precision protects final pixel values
         return nn.Conv(self.in_channels, (3, 3), padding=1,
-                       dtype=self.dtype)(h)
+                       dtype=self.dtype, name=cname())(h)
 
 
 class VQVAE:
@@ -403,7 +439,8 @@ class VQVAE:
                  vq_num_embeddings=512, internal_dim=256, codebook_levels=3,
                  vq_embedding_dim=4, commitment_weight=0.25,
                  use_attention=True, decoder_nonlocal=True,
-                 dtype=jnp.float32, ring_axis=None, ring_axis_size=1):
+                 dtype=jnp.float32, ring_axis=None, ring_axis_size=1,
+                 quant_decode=False, quant_encode=False):
         self.in_channels = in_channels
         self.num_downsamples = num_downsamples
         self.codebook_levels = codebook_levels
@@ -413,13 +450,14 @@ class VQVAE:
         self.encoder = VQVAEEncoder(
             hidden_channels=hidden_channels, num_downsamples=num_downsamples,
             internal_dim=internal_dim, vq_embedding_dim=vq_embedding_dim,
-            use_attention=use_attention, dtype=dtype)
+            use_attention=use_attention, dtype=dtype, quant=quant_encode)
         self.decoder = VQVAEDecoder(
             in_channels=in_channels, hidden_channels=hidden_channels,
             num_downsamples=num_downsamples, internal_dim=internal_dim,
             vq_embedding_dim=vq_embedding_dim,
             decoder_nonlocal=decoder_nonlocal, use_attention=use_attention,
-            dtype=dtype, ring_axis=ring_axis, ring_axis_size=ring_axis_size)
+            dtype=dtype, ring_axis=ring_axis, ring_axis_size=ring_axis_size,
+            quant=quant_decode)
 
     def init(self, rng, sample) -> dict:
         k_enc, k_dec, k_vq, k_noise = jax.random.split(rng, 4)
@@ -549,10 +587,13 @@ def setup_codec(config, load_checkpoint: bool = True,
                                                           image_size))
     if choice == "sd":
         from .sd_vae import SDVAE
-        # codec.quant_decode=int8: W8A8 serving decode (ops/quant.py) —
-        # measured 1.27-1.29× over bf16 conv on v5e; param tree unchanged
+        # codec.quant_decode / codec.quant_encode = int8: W8A8 serving
+        # decode / pre-encode encode (ops/quant.py) — measured 1.27-1.29×
+        # over bf16 conv on v5e; param tree unchanged either way
         quant = str(ldcfg(config, "quant_decode", "")) == "int8"
-        return SDVAE(image_size=image_size, dtype=dtype, quant_decode=quant)
+        quant_e = str(ldcfg(config, "quant_encode", "")) == "int8"
+        return SDVAE(image_size=image_size, dtype=dtype, quant_decode=quant,
+                     quant_encode=quant_e)
     if choice in ("vqgan", "vqgan_plus"):
         kw = dict(
             dtype=dtype,
@@ -564,6 +605,8 @@ def setup_codec(config, load_checkpoint: bool = True,
             codebook_levels=ldcfg(config, "codebook_levels", 3),
             vq_embedding_dim=ldcfg(config, "vq_embedding_dim", 4),
             commitment_weight=ldcfg(config, "commitment_weight", 0.25),
+            quant_decode=str(ldcfg(config, "quant_decode", "")) == "int8",
+            quant_encode=str(ldcfg(config, "quant_encode", "")) == "int8",
         )
         if choice == "vqgan_plus":
             from .vqgan_plus import VQGANPlus

@@ -87,29 +87,43 @@ class SDVAEEncoder(nn.Module):
     latent_channels: int = 4
     channels: tuple = _CH   # (128,256,512,512) for sd-vae-ft-mse
     dtype: Any = jnp.float32
+    # W8A8 int8 convs for the inference-only pre-encode pass (ops/quant.py);
+    # param tree unchanged. conv_in (3→128), the moment head (512→8) and the
+    # 1×1 quant_conv fall below MIN_QUANT_CHANNELS and stay in self.dtype,
+    # so the latent head keeps full precision either way.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         _ch = tuple(self.channels)
-        h = nn.Conv(_ch[0], (3, 3), padding=1, dtype=self.dtype)(x)
+        n_conv = 0  # explicit names must mirror nn.Conv autonaming
+
+        def cname():
+            nonlocal n_conv
+            n_conv += 1
+            return f"Conv_{n_conv - 1}"
+
+        h = _conv(self.quant, _ch[0], (3, 3), cname(), self.dtype,
+                  padding=1)(x)
         for i, ch in enumerate(_ch):
-            h = _Resnet(ch, self.dtype)(h)
-            h = _Resnet(ch, self.dtype)(h)
+            h = _Resnet(ch, self.dtype, self.quant)(h)
+            h = _Resnet(ch, self.dtype, self.quant)(h)
             if i < len(_ch) - 1:
                 # asymmetric pad then stride-2 conv (diffusers downsample)
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
-                h = nn.Conv(ch, (3, 3), strides=2, padding="VALID",
-                            dtype=self.dtype)(h)
-        h = _Resnet(_ch[-1], self.dtype)(h)
+                h = _conv(self.quant, ch, (3, 3), cname(), self.dtype,
+                          strides=2, padding="VALID")(h)
+        h = _Resnet(_ch[-1], self.dtype, self.quant)(h)
         h = _Attn(self.dtype)(h)
-        h = _Resnet(_ch[-1], self.dtype)(h)
+        h = _Resnet(_ch[-1], self.dtype, self.quant)(h)
         h = nn.GroupNorm(num_groups=gn_groups(32, h.shape[-1]), epsilon=1e-6,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
-        h = nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
-                    dtype=self.dtype)(h)
+        h = _conv(self.quant, 2 * self.latent_channels, (3, 3), cname(),
+                  self.dtype, padding=1)(h)
         # quant_conv
-        return nn.Conv(2 * self.latent_channels, (1, 1), dtype=self.dtype)(h)
+        return _conv(self.quant, 2 * self.latent_channels, (1, 1), cname(),
+                     self.dtype)(h)
 
 
 class SDVAEDecoder(nn.Module):
@@ -165,12 +179,13 @@ class SDVAE:
     def __init__(self, image_size: int = 128, latent_channels: int = 4,
                  weights_path: str = "weights/sd_vae_ft_mse.npz",
                  channels: tuple = _CH, dtype=jnp.float32,
-                 quant_decode: bool = False):
+                 quant_decode: bool = False, quant_encode: bool = False):
         self.image_size = image_size
         self.latent_channels = latent_channels
         self.weights_path = weights_path
         self.channels = tuple(channels)
-        self.encoder = SDVAEEncoder(latent_channels, self.channels, dtype)
+        self.encoder = SDVAEEncoder(latent_channels, self.channels, dtype,
+                                    quant=quant_encode)
         self.decoder = SDVAEDecoder(3, latent_channels, self.channels, dtype,
                                     quant=quant_decode)
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.rvq import rvq_apply, rvq_init
-from .codecs import gn_groups
+from .codecs import _conv, gn_groups
 
 __all__ = ["VQGANPlus", "VQGANPlusEncoder", "VQGANPlusDecoder",
            "VQGANPlusResidualBlock", "lecam_loss", "multipliers_for"]
@@ -45,20 +45,23 @@ class VQGANPlusResidualBlock(nn.Module):
     out_channels: int
     stride: int = 1
     dtype: Any = jnp.float32
+    # W8A8 int8 convs for inference (ops/quant.py); param tree unchanged
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
         c_in = x.shape[-1]
         g = gn_groups(8, self.out_channels)
-        h = nn.Conv(self.out_channels, (3, 3), strides=self.stride, padding=1,
-                    dtype=self.dtype)(x)
+        h = _conv(self.quant, self.out_channels, (3, 3), "Conv_0", self.dtype,
+                  strides=self.stride, padding=1)(x)
         h = nn.GroupNorm(num_groups=g, dtype=self.dtype, epsilon=1e-5)(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(h)
+        h = _conv(self.quant, self.out_channels, (3, 3), "Conv_1", self.dtype,
+                  padding=1)(h)
         h = nn.GroupNorm(num_groups=g, dtype=self.dtype, epsilon=1e-5)(h)
         if self.stride != 1 or c_in != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
-                        dtype=self.dtype)(x)
+            x = _conv(self.quant, self.out_channels, (1, 1), "Conv_2",
+                      self.dtype, strides=self.stride)(x)
             x = nn.GroupNorm(num_groups=g, dtype=self.dtype, epsilon=1e-5)(x)
         return nn.silu(h + x)
 
@@ -71,27 +74,33 @@ class VQGANPlusEncoder(nn.Module):
     latent_channels: int = 256
     vq_embedding_dim: int = 8
     dtype: Any = jnp.float32
+    # W8A8 int8 convs for the inference-only pre-encode pass (ops/quant.py);
+    # the compression head (→vq_embedding_dim) stays in self.dtype.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.base_channels, (3, 3), padding=1,
-                    dtype=self.dtype)(x)
+        h = _conv(self.quant, self.base_channels, (3, 3), "Conv_0",
+                  self.dtype, padding=1)(x)
         for mult in self.channel_multipliers:
             ch = self.base_channels * mult
-            h = VQGANPlusResidualBlock(ch, stride=2, dtype=self.dtype)(h)
-            h = VQGANPlusResidualBlock(ch, stride=1, dtype=self.dtype)(h)
-        h = nn.Conv(self.latent_channels, (3, 3), padding=1,
-                    dtype=self.dtype)(h)
+            h = VQGANPlusResidualBlock(ch, stride=2, dtype=self.dtype,
+                                       quant=self.quant)(h)
+            h = VQGANPlusResidualBlock(ch, stride=1, dtype=self.dtype,
+                                       quant=self.quant)(h)
+        h = _conv(self.quant, self.latent_channels, (3, 3), "Conv_1",
+                  self.dtype, padding=1)(h)
         h = nn.GroupNorm(num_groups=gn_groups(8, self.latent_channels), epsilon=1e-5,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         # compression head
-        h = nn.Conv(self.vq_embedding_dim, (1, 1), dtype=self.dtype)(h)
+        h = nn.Conv(self.vq_embedding_dim, (1, 1), dtype=self.dtype,
+                    name="Conv_2")(h)
         h = nn.GroupNorm(num_groups=gn_groups(8, self.vq_embedding_dim), epsilon=1e-5,
                          dtype=self.dtype)(h)
         h = nn.silu(h)
         return nn.Conv(self.vq_embedding_dim, (3, 3), padding=1,
-                       dtype=self.dtype)(h)
+                       dtype=self.dtype, name="Conv_3")(h)
 
 
 class VQGANPlusDecoder(nn.Module):
@@ -102,24 +111,30 @@ class VQGANPlusDecoder(nn.Module):
     channel_multipliers: Sequence[int] = (1, 2, 4)
     vq_embedding_dim: int = 8
     dtype: Any = jnp.float32
+    # W8A8 int8 convs for serving (ops/quant.py); the output head stays in
+    # self.dtype to protect final pixel values.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, z):
         rev = list(reversed(self.channel_multipliers))
         ch0 = self.base_channels * rev[0]
-        h = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype)(z)
+        h = _conv(self.quant, ch0, (3, 3), "Conv_0", self.dtype,
+                  padding=1)(z)
         h = nn.GroupNorm(num_groups=gn_groups(8, ch0), epsilon=1e-5, dtype=self.dtype)(h)
         h = nn.silu(h)
         for mult in rev[1:]:
             ch = self.base_channels * mult
             b, hh, ww, c = h.shape
             h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
-            h = VQGANPlusResidualBlock(ch, dtype=self.dtype)(h)
-            h = VQGANPlusResidualBlock(ch, dtype=self.dtype)(h)
+            h = VQGANPlusResidualBlock(ch, dtype=self.dtype,
+                                       quant=self.quant)(h)
+            h = VQGANPlusResidualBlock(ch, dtype=self.dtype,
+                                       quant=self.quant)(h)
         b, hh, ww, c = h.shape
         h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
         return nn.Conv(self.out_channels, (3, 3), padding=1,
-                       dtype=self.dtype)(h)
+                       dtype=self.dtype, name="Conv_1")(h)
 
 
 class VQGANPlus:
@@ -129,7 +144,7 @@ class VQGANPlus:
     def __init__(self, in_channels=3, hidden_channels=128, num_downsamples=4,
                  vq_num_embeddings=1024, internal_dim=256, codebook_levels=4,
                  vq_embedding_dim=8, commitment_weight=0.25,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, quant_decode=False, quant_encode=False):
         self.in_channels = in_channels
         self.num_downsamples = num_downsamples
         self.codebook_levels = codebook_levels
@@ -140,11 +155,11 @@ class VQGANPlus:
         self.encoder = VQGANPlusEncoder(
             base_channels=hidden_channels, channel_multipliers=mults,
             latent_channels=internal_dim, vq_embedding_dim=vq_embedding_dim,
-            dtype=dtype)
+            dtype=dtype, quant=quant_encode)
         self.decoder = VQGANPlusDecoder(
             out_channels=in_channels, base_channels=hidden_channels,
             channel_multipliers=mults, vq_embedding_dim=vq_embedding_dim,
-            dtype=dtype)
+            dtype=dtype, quant=quant_decode)
 
     def init(self, rng, sample) -> dict:
         k_e, k_d, k_vq = jax.random.split(rng, 3)

@@ -88,7 +88,8 @@ def int8_conv(x: jax.Array, kernel: jax.Array, bias, strides, padding,
 
 
 class QuantConv(nn.Module):
-    """Drop-in for the ``nn.Conv`` call sites in codec decoders, with the
+    """Drop-in for the ``nn.Conv`` call sites in codec encoders/decoders
+    (SD-VAE, VQVAE, VQGAN+ — all behind ``codec.quant_{encode,decode}``), with the
     identical parameter tree ("kernel" HWIO + "bias"; lecun_normal/zeros
     init — flax nn.Conv defaults), running the W8A8 path when both channel
     counts are ≥ MIN_QUANT_CHANNELS and the plain-dtype conv otherwise."""

@@ -255,6 +255,17 @@ def main():
                        config_dir=os.path.join(os.path.dirname(
                            os.path.abspath(__file__)), "configs"))
     print("Config:", dict(config))
+    # +quant=int8 requests the W8A8 pre-encode path (ops/quant.py): the
+    # encode is inference-only, its conv body matches the shapes where int8
+    # measured 1.27-1.29× over bf16 on v5e, and the latent head stays in
+    # the plain dtype (below MIN_QUANT_CHANNELS). Opt-in: quantized encode
+    # perturbs the saved latents by ~int8 step error.
+    quant_cli = config.get("quant", None)
+    if quant_cli is not None and str(quant_cli).lower() in ("int8", "true",
+                                                            "1"):
+        if "codec" not in config:
+            config["codec"] = {}
+        config.codec["quant_encode"] = "int8"
     mesh = make_mesh()
     codec = setup_codec(config)
     image_size = int(ldcfg(config, "image_size", 128))

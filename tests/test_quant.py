@@ -103,5 +103,110 @@ def test_setup_codec_quant_decode_flag():
                                       "quant_decode": "int8"}})
     codec = setup_codec(cfg)
     assert codec.decoder.quant is True
+    assert codec.encoder.quant is False
     cfg2 = config_from_dict({"image_size": 32, "codec": {"choice": "sd"}})
     assert setup_codec(cfg2).decoder.quant is False
+
+
+def test_encoder_param_tree_identical_to_nn_conv():
+    """quant_encode=True must produce the exact same parameter pytree as the
+    plain encoder — explicit Conv_i names mirror nn.Conv autonaming."""
+    from flocoder_tpu.models.sd_vae import SDVAEEncoder
+    x = jnp.zeros((1, 16, 16, 3))
+    p_plain = SDVAEEncoder(channels=(32, 64)).init(jax.random.PRNGKey(0), x)
+    p_quant = SDVAEEncoder(channels=(32, 64), quant=True).init(
+        jax.random.PRNGKey(0), x)
+    flat_p = jax.tree_util.tree_map_with_path(lambda k, v: v.shape, p_plain)
+    flat_q = jax.tree_util.tree_map_with_path(lambda k, v: v.shape, p_quant)
+    assert jax.tree_util.tree_structure(flat_p) == \
+        jax.tree_util.tree_structure(flat_q)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a == b, flat_p, flat_q))
+
+
+def test_sdvae_quant_encode_close_and_checkpoint_compatible():
+    """Full encoder: init the PLAIN model, encode the same images through
+    the quantized encoder USING THE PLAIN PARAMS (checkpoint interop), and
+    require the int8 latents to stay close to the fp32 ones."""
+    sd_plain = SDVAE(image_size=32, channels=(32, 64), dtype=jnp.float32,
+                     weights_path="")
+    sd_quant = SDVAE(image_size=32, channels=(32, 64), dtype=jnp.float32,
+                     weights_path="", quant_encode=True)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    params = sd_plain.init(jax.random.PRNGKey(0), x0)
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((2, 32, 32, 3)),
+        jnp.float32)
+    z_p = np.asarray(sd_plain.encode(params, x), np.float32)
+    z_q = np.asarray(sd_quant.encode(params, x), np.float32)
+    rel = np.linalg.norm(z_q - z_p) / max(np.linalg.norm(z_p), 1e-9)
+    # random-init encoder; per-layer int8 error compounds over ~12 convs
+    assert rel < 0.10, rel
+    assert np.isfinite(z_q).all()
+
+
+def test_setup_codec_quant_encode_flag():
+    from flocoder_tpu.config import config_from_dict
+    from flocoder_tpu.models.codecs import setup_codec
+    cfg = config_from_dict({"image_size": 32,
+                            "codec": {"choice": "sd",
+                                      "quant_encode": "int8"}})
+    codec = setup_codec(cfg)
+    assert codec.encoder.quant is True
+    assert codec.decoder.quant is False
+
+
+@pytest.mark.parametrize("which", ["vqgan", "vqgan_plus"])
+def test_vqgan_quant_param_tree_identical_and_close(which):
+    """Both VQGAN-family codecs: the quantized model must share the plain
+    model's exact parameter pytree (checkpoint interop) and stay close to
+    the fp32 forward on the same params."""
+    from flocoder_tpu.models.codecs import VQVAE
+    from flocoder_tpu.models.vqgan_plus import VQGANPlus
+
+    kw = dict(in_channels=3, hidden_channels=32, num_downsamples=3,
+              internal_dim=64, vq_embedding_dim=4, codebook_levels=2,
+              vq_num_embeddings=32)
+    cls = VQVAE if which == "vqgan" else VQGANPlus
+    plain = cls(**kw)
+    quant = cls(**kw, quant_decode=True, quant_encode=True)
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 32, 32, 3)),
+        jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    p_q = quant.init(jax.random.PRNGKey(0), x)
+    shapes = lambda t: jax.tree_util.tree_map(lambda v: jnp.shape(v), t)
+    assert jax.tree_util.tree_structure(shapes(params)) == \
+        jax.tree_util.tree_structure(shapes(p_q))
+
+    z_p = np.asarray(plain.encode(params, x), np.float32)
+    z_q = np.asarray(quant.encode(params, x), np.float32)
+    rel = np.linalg.norm(z_q - z_p) / max(np.linalg.norm(z_p), 1e-9)
+    assert rel < 0.15, rel
+
+    lat = jnp.asarray(z_p)
+    img_p = np.asarray(plain.decode(params, lat), np.float32)
+    img_q = np.asarray(quant.decode(params, lat), np.float32)
+    rel = np.linalg.norm(img_q - img_p) / max(np.linalg.norm(img_p), 1e-9)
+    assert rel < 0.15, rel
+    assert np.isfinite(img_q).all()
+
+
+def test_setup_codec_vqgan_quant_flags():
+    from flocoder_tpu.config import config_from_dict
+    from flocoder_tpu.models.codecs import setup_codec
+    cfg = config_from_dict({"image_size": 32,
+                            "codec": {"choice": "vqgan",
+                                      "hidden_channels": 32,
+                                      "internal_dim": 64,
+                                      "quant_decode": "int8",
+                                      "quant_encode": "int8"}})
+    codec = setup_codec(cfg)
+    assert codec.decoder.quant is True
+    assert codec.encoder.quant is True
+    cfg2 = config_from_dict({"image_size": 32,
+                             "codec": {"choice": "vqgan_plus",
+                                       "hidden_channels": 32}})
+    codec2 = setup_codec(cfg2)
+    assert codec2.decoder.quant is False
+    assert codec2.encoder.quant is False

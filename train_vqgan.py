@@ -66,6 +66,12 @@ def train_vqgan(config):
         num_workers=int(ldcfg(config, "num_workers", 4)),
         is_midi=is_midi, config=config, seed=seed)
 
+    # quant_* flags are INFERENCE-only (W8A8 int8 has round() in the
+    # forward, which would zero training gradients) — strip them so a
+    # shared recipe that serves with +quant=int8 still trains full-precision
+    if "codec" in config:
+        config.codec.pop("quant_decode", None)
+        config.codec.pop("quant_encode", None)
     codec = setup_codec(config)
     rng = jax.random.PRNGKey(seed)
     rng, k_init = jax.random.split(rng)
