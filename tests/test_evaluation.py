@@ -171,6 +171,34 @@ def test_make_e2e_sampler_sharded_mesh():
     assert lat6.shape == (6, 4, 4, 3)
 
 
+def test_make_e2e_sampler_sharded_with_int8_decode():
+    """Serving composition: the sharded fused sampler with the W8A8 int8
+    decoder (ops/quant.py) — QuantConv must run under shard_map and stay
+    close to the plain decode on the same params."""
+    from flocoder_tpu.models.sd_vae import SDVAE
+    from flocoder_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    sd = SDVAE(image_size=16, channels=(32, 64), weights_path="")
+    sd_q = SDVAE(image_size=16, channels=(32, 64), weights_path="",
+                 quant_decode=True)
+    params = sd.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    imgs = {}
+    for tag, codec in (("plain", sd), ("int8", sd_q)):
+        f = make_e2e_sampler(lambda p, x, t, c: 0.5 - x, codec,
+                             (2, 2, 4), batch_size=16, n_steps=4,
+                             cfg_strength=0.0, n_classes=0, mesh=mesh)
+        lat, img = f({}, params, jax.random.PRNGKey(0),
+                     jnp.zeros(16, jnp.int32))
+        # 2×2 latents through the 2-stage decoder (2× upsample) → 4×4 pixels
+        assert img.shape == (16, 4, 4, 3)
+        assert len(img.sharding.device_set) == 8
+        imgs[tag] = np.asarray(img, np.float32)
+    rel = (np.linalg.norm(imgs["int8"] - imgs["plain"])
+           / max(np.linalg.norm(imgs["plain"]), 1e-9))
+    assert rel < 0.10, rel
+
+
 def test_sampler_fused_sharded_mesh():
     """sampler(params=..., mesh=...) serves class-conditional batches under
     shard_map with outputs spanning the mesh."""
