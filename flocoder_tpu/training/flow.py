@@ -102,7 +102,8 @@ def make_flow_train_step(model_apply: Callable, tx,
                          ot_block: Optional[int] = None,
                          blank_latents: Optional[jax.Array] = None,
                          otf_aug: Optional[dict] = None,
-                         paired_source: bool = False):
+                         paired_source: bool = False,
+                         curvature_weight: float = 0.0):
     """Build the jitted train step.
 
     ``model_apply(params, x, t_vec, cond)`` and (optionally)
@@ -152,7 +153,17 @@ def make_flow_train_step(model_apply: Callable, tx,
     is sacrosanct: OT re-pairing is skipped (it would scramble the coupling)
     and the CFG-dropout gate nulls the class token WITHOUT resampling the
     source (a resample would break the pair; an independent-coupling batch
-    teaches nothing a reflow pass is for)."""
+    teaches nothing a reflow pass is for).
+
+    ``curvature_weight``: path-straightness regularizer (the reference's
+    open README.md:147 TODO "Straighter/OT paths: … Curvature penalty").
+    Adds λ·E‖d v(x_t, t)/dt‖² along the training path — the total
+    derivative ∂v/∂t + (∂v/∂x)·(target − source), computed with ONE
+    forward-mode ``jax.jvp`` that also yields v itself (so the extra cost
+    is ≈ one forward pass, no second backward pass). A field with zero
+    path curvature integrates exactly in one Euler step, so this trains
+    toward few-NFE serving in the base run (and composes with a reflow
+    distillation pass)."""
     if remat:
         model_apply = jax.checkpoint(model_apply)
     if donate is None:
@@ -277,10 +288,23 @@ def make_flow_train_step(model_apply: Callable, tx,
             x = _interp(source, target, t)
             v_star = target - source
             cond = {"class_cond": class_cond, "mask_cond": mask}
-            v = model_apply(params["model"], x, t * t_scale, cond)
+            if curvature_weight:
+                # total path derivative dv/dt = ∂v/∂t + (∂v/∂x)·ẋ with
+                # ẋ = v_star along the interpolation; one jvp returns v too
+                # (t_scale rides inside, so the tangent is in natural t)
+                v, dv_dt = jax.jvp(
+                    lambda xx, tt: model_apply(params["model"], xx,
+                                               tt * t_scale, cond),
+                    (x, t), (v_star, jnp.ones_like(t)))
+            else:
+                v = model_apply(params["model"], x, t * t_scale, cond)
             loss = jnp.mean((v - v_star) ** 2)
 
             aux = {"loss_flow": loss}
+            if curvature_weight:
+                curv = jnp.mean(dv_dt ** 2)
+                loss = loss + curvature_weight * curv
+                aux["loss_curvature"] = curv
             if inpainting and mask_identity_weight:
                 # 0/1 identity regularizer (reference: train_flow.py:362-371)
                 ones_in = jnp.ones_like(batch["mask_pixels"], target.dtype)

@@ -309,3 +309,65 @@ def test_ot_block_step_runs_and_is_deterministic():
     _, aux_f = step_full(state, batch, jax.random.PRNGKey(7))
     np.testing.assert_allclose(float(aux_d["loss"]), float(aux_f["loss"]),
                                rtol=1e-6)
+
+
+def test_curvature_penalty_zero_for_constant_field():
+    """A velocity field independent of (x, t) has zero path curvature —
+    the jvp total derivative must be exactly 0 (training/flow.py
+    curvature_weight docs)."""
+    def apply_fn(params, x, t, cond):
+        return jnp.zeros_like(x) + params["c"]
+    params = {"model": {"c": jnp.float32(0.7)}}
+    tx = make_flow_optimizer(1e-2)
+    step = make_flow_train_step(apply_fn, tx, use_ot=False, donate=False,
+                                cfg_dropout=0.0, curvature_weight=0.5)
+    state = create_flow_state(params, tx)
+    batch = {"target": jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 2))}
+    _, aux = step(state, batch, jax.random.PRNGKey(0))
+    assert float(aux["loss_curvature"]) == 0.0
+    np.testing.assert_allclose(float(aux["loss"]),
+                               float(aux["loss_flow"]), rtol=1e-6)
+
+
+def test_curvature_penalty_closed_form_linear_in_t():
+    """v = c·t (no x dependence) ⇒ dv/dt = c everywhere ⇒ the curvature
+    term is exactly c², and the total loss is loss_flow + λ·c²."""
+    def apply_fn(params, x, t, cond):
+        return jnp.ones_like(x) * t[:, None, None, None] * params["c"]
+    c, lam = 0.8, 0.25
+    params = {"model": {"c": jnp.float32(c)}}
+    tx = make_flow_optimizer(1e-2)
+    step = make_flow_train_step(apply_fn, tx, use_ot=False, donate=False,
+                                cfg_dropout=0.0, t_scale=1.0,
+                                curvature_weight=lam)
+    state = create_flow_state(params, tx)
+    batch = {"target": jax.random.normal(jax.random.PRNGKey(2), (8, 4, 4, 2))}
+    _, aux = step(state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(aux["loss_curvature"]), c * c, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(aux["loss"]), float(aux["loss_flow"]) + lam * c * c, rtol=1e-5)
+
+
+def test_curvature_penalty_shapes_training():
+    """The regularizer must actually reach the gradients: with x-dependent
+    params the curvature term changes the update, and λ=0 reproduces the
+    unregularized step bit-for-bit (same code path, no jvp)."""
+    apply_fn, params = _tiny_model()
+    tx = make_flow_optimizer(1e-2)
+    batch = {"target": jax.random.normal(jax.random.PRNGKey(3), (8, 4, 4, 2))}
+    s0 = create_flow_state(params, tx)
+    step_plain = make_flow_train_step(apply_fn, tx, use_ot=False,
+                                      donate=False, cfg_dropout=0.0)
+    step_l0 = make_flow_train_step(apply_fn, tx, use_ot=False, donate=False,
+                                   cfg_dropout=0.0, curvature_weight=0.0)
+    step_reg = make_flow_train_step(apply_fn, tx, use_ot=False, donate=False,
+                                    cfg_dropout=0.0, curvature_weight=10.0)
+    sp, ap = step_plain(s0, batch, jax.random.PRNGKey(5))
+    s1, a1 = step_l0(s0, batch, jax.random.PRNGKey(5))
+    sr, ar = step_reg(s0, batch, jax.random.PRNGKey(5))
+    np.testing.assert_array_equal(np.asarray(sp.params["model"]["w"]),
+                                  np.asarray(s1.params["model"]["w"]))
+    assert np.isfinite(float(ar["loss"]))
+    # v = x@W ⇒ dv/dt = v_star@W ≠ 0 in general ⇒ different update
+    assert float(jnp.abs(sr.params["model"]["w"] -
+                         sp.params["model"]["w"]).max()) > 1e-7

@@ -244,6 +244,9 @@ def train_flow(config):
         ot_block=(int(ldcfg(config, "ot_block", 0)) or None),
         blank_latents=blank_latents, otf_aug=otf_aug,
         paired_source=reflow,
+        # flow.curvature_weight > 0 adds the path-straightness penalty
+        # (reference README.md:147 TODO; training/flow.py docstring)
+        curvature_weight=float(ldcfg(config, "curvature_weight", 0.0)),
         mesh=step_mesh)
     train_step = make_flow_train_step(train_model_apply, tx,
                                       steps_per_call=steps_per_call,
