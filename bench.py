@@ -242,7 +242,7 @@ def _bench_sampler_and_codecs():
             return img.ravel()[0].astype(jnp.int32), img.mean()
         t_e2e = _timed_scan(e2e_body, K=3)
 
-        heun_sps = ab4_sps = euler4_sps = int8_sps = None
+        heun_sps = ab4_sps = euler4_sps = int8_sps = mf_sps = None
         if tag == "bf16":
             # NFE-efficiency options: 2nd-order Heun-25 = 48 NFE and
             # 4th-order Adams-Bashforth-25 (PLMS-style multistep,
@@ -284,14 +284,40 @@ def _bench_sampler_and_codecs():
                                jax.random.fold_in(key, carry), cls)
                 return img.ravel()[0].astype(jnp.int32), img.mean()
             int8_sps = B / _timed_scan(q_body, K=3)
+            # MeanFlow 1-NFE serving ceiling (flow.meanflow=true +
+            # method=meanflow, reference README.md:158 research TODO): ONE
+            # dual-time model eval + decode per batch. cfg_strength=0 —
+            # guidance is trained into the average-velocity field, so the
+            # row is the genuine 1-NFE throughput, not 2-NFE CFG.
+            mf_model = Unet(dim=DIM, dim_mults=(1, 2, 4, 8), channels=C,
+                            n_classes=n_classes, dtype=dtype, dual_time=True)
+            mf_params = mf_model.init(
+                jax.random.PRNGKey(0), jnp.zeros((8, H, H, C)),
+                jnp.zeros((8,)),
+                {"class_cond": jnp.zeros((8,), jnp.int32),
+                 "mask_cond": None})
+            mf_apply = lambda p, x, t, c: mf_model.apply(p, x, t, c)
+            # t_scale=1: dual-time models keep time unscaled (train_flow.py)
+            e2e_mf = make_e2e_sampler(mf_apply, sd, (H, H, C), batch_size=B,
+                                      method="meanflow", n_steps=1,
+                                      cfg_strength=0.0, n_classes=n_classes,
+                                      t_scale=1.0)
+
+            def mf_body(carry, key):
+                _, img = e2e_mf(mf_params, sd_params,
+                                jax.random.fold_in(key, carry), cls)
+                return img.ravel()[0].astype(jnp.int32), img.mean()
+            mf_sps = B / _timed_scan(mf_body, K=3)
+            del mf_params
         per_dtype[tag] = (n_steps / t_lat, B / t_e2e, heun_sps, ab4_sps,
-                          euler4_sps)
+                          euler4_sps, mf_sps)
         del params, sd_params
     ode_steps_per_sec = max(v[0] for v in per_dtype.values())
     e2e_sps = max(v[1] for v in per_dtype.values())
     heun_sps = per_dtype["bf16"][2]
     ab4_sps = per_dtype["bf16"][3]
     euler4_sps = per_dtype["bf16"][4]
+    mf_sps = per_dtype["bf16"][5]
 
     # rebuild the fp32 SD-VAE for the pre-encode measurement below
     sd = SDVAE(image_size=128, weights_path="")
@@ -341,6 +367,7 @@ def _bench_sampler_and_codecs():
         "e2e_sampler_ab4_25_samples_per_sec": round(ab4_sps, 1),
         "e2e_sampler_ab4_25_int8_samples_per_sec": round(int8_sps, 1),
         "e2e_sampler_euler5_reflow_samples_per_sec": round(euler4_sps, 1),
+        "e2e_sampler_meanflow_1nfe_samples_per_sec": round(mf_sps, 1),
         "preencode_samples_per_sec": round(preencode_sps, 1),
         "preencode_bf16_samples_per_sec": round(B / t_enc_b, 1),
         "preencode_int8_samples_per_sec": round(B / t_enc_q, 1),

@@ -74,6 +74,9 @@ def main():
         n_steps=int(config.get("n_steps", ldcfg(config, "n_steps", 100))),
         cfg_strength=float(config.get("cfg_strength",
                                       ldcfg(config, "cfg_strength", 3.0))),
+        # dual-time (MeanFlow) checkpoints serve with unscaled time
+        # (load_models_once resolves this off the embedded config)
+        t_scale=float(b["t_scale"]),
         use_wandb=False, output_dir=str(config.get("output_dir", "eval_out")))
     for k, v in sorted(metrics.items()):
         # FID_feature_backend is a string stamp, not a number

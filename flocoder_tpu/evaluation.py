@@ -58,7 +58,7 @@ def _shard_serving(local_fn, mesh, names, batch_arg_flags, n_out: int):
 def _get_fused_sampler(model_apply_p: Callable, codec, *, shape, method,
                        n_steps, cfg_strength, has_class, has_mask,
                        has_source, has_init, init_strength, is_midi,
-                       keep_gray, mesh=None):
+                       keep_gray, t_scale=999.0, mesh=None):
     names, n_shards = _mesh_shards(mesh)
     if shape[0] % n_shards:   # partial batch can't split evenly → 1 device
         names, n_shards = (), 1
@@ -66,7 +66,7 @@ def _get_fused_sampler(model_apply_p: Callable, codec, *, shape, method,
     # call still hits the cached sharded executable
     key = (id(model_apply_p), id(codec), tuple(shape), method, n_steps,
            float(cfg_strength), has_class, has_mask, has_source, has_init,
-           float(init_strength), is_midi, keep_gray,
+           float(init_strength), is_midi, keep_gray, float(t_scale),
            mesh if n_shards > 1 else None)
     f = _fused_cache.get(key)
     if f is not None:
@@ -85,7 +85,7 @@ def _get_fused_sampler(model_apply_p: Callable, codec, *, shape, method,
             latents, _ = generate_latents(
                 lambda x, t, c: model_apply_p(params, x, t, c), local_shape,
                 rng, method=method, n_steps=n_steps, cond=cond,
-                cfg_strength=cfg_strength,
+                cfg_strength=cfg_strength, t_scale=t_scale,
                 source=source if has_source else None,
                 init_latents=init_latents if has_init else None,
                 init_strength=init_strength)
@@ -126,7 +126,7 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
             latent_shape=(16, 16, 4), cfg_strength: float = 3.0,
             is_midi: bool = False, keep_gray: bool = False, source=None,
             init_image=None, init_latents=None, init_strength: float = 0.0,
-            params=None, mesh=None):
+            params=None, t_scale: float = 999.0, mesh=None):
     """Generate predicted latents and decode them
     (reference: sampling.py:186-229). latent_shape is (H, W, C) NHWC.
     Returns (pred_latents, decoded_pred, nfe).
@@ -179,7 +179,7 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
     # fixed-NFE methods fuse; adaptive rk45's data-dependent NFE stays on
     # the legacy path (its while_loop is jitted internally anyway)
     if params is not None and method in ("rk4", "euler", "heun", "midpoint",
-                                         "ab4"):
+                                         "ab4", "sde", "meanflow"):
         cls = cond.get("class_cond") if cond else None
         msk = cond.get("mask_cond") if cond else None
         fused = _get_fused_sampler(
@@ -187,25 +187,26 @@ def sampler(model_apply: Callable, codec, codec_params, rng: jax.Array,
             cfg_strength=cfg_strength, has_class=cls is not None,
             has_mask=msk is not None, has_source=source is not None,
             has_init=init_latents is not None, init_strength=init_strength,
-            is_midi=is_midi, keep_gray=keep_gray, mesh=mesh)
+            is_midi=is_midi, keep_gray=keep_gray, t_scale=t_scale, mesh=mesh)
         pred_latents, decoded = fused(params, codec_params, k_gen, cls, msk,
                                       source, init_latents)
         # n_steps grid points → n_steps-1 integration intervals; with an
         # init image the grid SHRINKS to n_steps·(1-init_strength) points
-        # (sampling._time_grid, reference :108) — report the real NFE
-        eff_steps = n_steps
+        # (sampling._time_grid, reference :108) — report the real NFE.
+        # meanflow counts SEGMENTS: its grid has n_steps+1 points.
+        eff_steps = n_steps + 1 if method == "meanflow" else n_steps
         if init_latents is not None and init_strength > 0:
-            eff_steps = max(1, int(n_steps * (1.0 - init_strength)))
-        n_int = eff_steps - 1
+            eff_steps = max(1, int(eff_steps * (1.0 - init_strength)))
+        n_int = max(eff_steps - 1, 1)
         nfe = {"rk4": 4 * n_int, "euler": n_int, "heun": 2 * n_int,
-               "midpoint": 2 * n_int,
+               "midpoint": 2 * n_int, "sde": n_int, "meanflow": n_int,
                "ab4": 12 + (n_int - 3) if n_int >= 4 else 4 * n_int}[method]
         return pred_latents, decoded, nfe
 
     pred_latents, nfe = generate_latents(
         model_apply, shape, k_gen, method=method, n_steps=n_steps, cond=cond,
         cfg_strength=cfg_strength, source=source, init_latents=init_latents,
-        init_strength=init_strength)
+        init_strength=init_strength, t_scale=t_scale)
     decoded = decode_latents(codec, codec_params, pred_latents,
                              is_midi=is_midi, keep_gray=keep_gray)
     return pred_latents, decoded, nfe
@@ -220,7 +221,7 @@ def evaluate_model(model_apply: Callable, codec, codec_params, epoch: int,
                    cb_tracker=None, codec_quantize: Optional[Callable] = None,
                    use_wandb: bool = True, output_dir: str = "./",
                    source=None, mask_pixels=None, feature_fn=None,
-                   params=None, mesh=None) -> dict:
+                   params=None, t_scale: float = 999.0, mesh=None) -> dict:
     """Sample, decode, compute metrics, track codebook usage, save grids
     (reference: sampling.py:233-322). Pass ``params`` (with a stable
     ``model_apply(params, x, t, cond)``) to route sampling through the
@@ -232,7 +233,7 @@ def evaluate_model(model_apply: Callable, codec, codec_params, epoch: int,
         batch_size=batch_size, n_steps=n_steps, cond=cond,
         n_classes=n_classes, latent_shape=latent_shape,
         cfg_strength=cfg_strength, is_midi=is_midi, keep_gray=keep_gray,
-        source=source, params=params, mesh=mesh)
+        source=source, params=params, t_scale=t_scale, mesh=mesh)
 
     decoded_target = decode_latents(codec, codec_params,
                                     target_latents[:batch_size],

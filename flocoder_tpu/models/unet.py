@@ -216,6 +216,13 @@ class Unet(nn.Module):
     # requires tracing inside a shard_map that binds this mesh axis
     ring_axis: Any = None
     ring_axis_size: int = 1
+    # MeanFlow (average-velocity) mode: the field becomes u(x, r, t) — `time`
+    # is the STATE time r and cond['time_horizon'] the target time t (same
+    # t_scale units). The horizon enters as a second sinusoidal embedding of
+    # Δ = t − r added into the time embedding; a missing horizon means Δ = 0,
+    # i.e. u(x, t, t) = v(x, t) — the instantaneous velocity — so a
+    # dual-time model drops into every standard-FM code path unchanged.
+    dual_time: bool = False
 
     @nn.compact
     def __call__(self, x, time, cond: Optional[dict] = None, train: bool = False):
@@ -262,6 +269,20 @@ class Unet(nn.Module):
         t = nn.Dense(time_dim, dtype=dtype)(t)
         t = nn.gelu(t, approximate=False)  # exact erf, torch parity
         t = nn.Dense(time_dim, dtype=dtype)(t)
+
+        if self.dual_time:
+            # horizon embedding of Δ = t_horizon − r; the MLP always runs
+            # (on Δ=0 when no horizon is given) so the param structure never
+            # depends on the call-time cond
+            horizon = cond.get("time_horizon") if cond else None
+            tv = jnp.asarray(time, dtype)
+            delta = (jnp.asarray(horizon, dtype) - tv if horizon is not None
+                     else jnp.zeros_like(tv))
+            d = sinusoidal_embedding(delta, self.dim)
+            d = nn.Dense(time_dim, dtype=dtype)(d)
+            d = nn.gelu(d, approximate=False)
+            d = nn.Dense(time_dim, dtype=dtype)(d)
+            t = t + d
 
         if self.n_classes > 0 and class_cond is not None:
             # Null token: ids < 0 contribute zero (CFG-friendly batched form

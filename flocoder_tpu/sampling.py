@@ -39,6 +39,8 @@ __all__ = [
     "cfg_velocity",
     "generate_latents_rk4",
     "generate_latents_euler",
+    "generate_latents_sde",
+    "generate_latents_meanflow",
     "generate_latents_second_order",
     "generate_latents_ab4",
     "generate_latents_rk45",
@@ -123,6 +125,10 @@ def cfg_velocity(apply_fn: Callable, cond: Optional[dict], cfg_strength: float,
         if cond.get("mask_cond") is not None:
             cond2["mask_cond"] = jnp.concatenate(
                 [cond["mask_cond"], cond["mask_cond"]], axis=0)
+        if cond.get("time_horizon") is not None:
+            # dual-time (MeanFlow) models: the horizon doubles with the batch
+            cond2["time_horizon"] = jnp.concatenate(
+                [cond["time_horizon"], cond["time_horizon"]], axis=0)
         v2 = apply_fn(x2, t_vec, cond2)
         v_c, v_u = v2[:b], v2[b:]
         return v_u + cfg_strength * (v_c - v_u)
@@ -213,6 +219,93 @@ def generate_latents_euler(apply_fn: Callable, shape, rng: jax.Array,
     v_func = cfg_velocity(apply_fn, cond, cfg_strength, t_scale)
     x = _integrate_scan(euler_step, v_func, x0, ts)
     return x, ts.shape[0] - 1
+
+
+def generate_latents_sde(apply_fn: Callable, shape, rng: jax.Array,
+                         n_steps: int = 100, cond: Optional[dict] = None,
+                         cfg_strength: float = 3.0, source=None,
+                         init_latents=None, init_strength: float = 0.0,
+                         t_scale: float = 999.0, warp_s: float = 0.5,
+                         noise_scale: float = 0.8, dtype=jnp.float32):
+    """Diffusion-style stochastic sampler from the SAME trained flow
+    (closes the reference's README.md:148 TODO "Add jitter / diffusion for
+    comparison"). Returns ``(latents, nfe)``; 1 NFE per step.
+
+    For the linear path x_t = (1−t)·x0 + t·x1 with Gaussian source, the
+    marginal score is recoverable from the learned velocity:
+    E[x0|x_t] = x − t·v  ⇒  s(x,t) = ∇log p_t(x) = (t·v − x)/(1−t).
+    Any SDE  dx = [v + g(t)²/2 · s] dt + g(t) dW  then shares the ODE's
+    marginals; with churn schedule g(t) = noise_scale·(1−t) the drift
+    correction g²/2·s = noise_scale²·(1−t)·(t·v − x)/2 is division-free
+    (bounded as t→1), and ``noise_scale=0`` reduces EXACTLY to the Euler
+    probability-flow sampler. Integration is Euler–Maruyama over the same
+    warped grid as the ODE samplers."""
+    k_init, k_noise = jax.random.split(rng)
+    x0 = source if source is not None else jax.random.normal(k_init, shape,
+                                                             dtype)
+    if init_latents is not None:
+        x0 = (1 - init_strength) * x0 + init_strength * init_latents
+    else:
+        init_strength = 0.0
+    ts = _time_grid(n_steps, init_strength, warp_s, dtype)
+    v_func = cfg_velocity(apply_fn, cond, cfg_strength, t_scale)
+    n = ts.shape[0] - 1
+    keys = jax.random.split(k_noise, n)
+    g2_half = 0.5 * noise_scale * noise_scale
+
+    def body(x, inp):
+        t0, t1, key = inp
+        dt = t1 - t0
+        v = v_func(x, t0)
+        drift = v + g2_half * (1 - t0) * (t0 * v - x)
+        x = x + drift * dt
+        if noise_scale > 0:
+            xi = jax.random.normal(key, x.shape, x.dtype)
+            x = x + noise_scale * (1 - t0) * jnp.sqrt(dt) * xi
+        return x, None
+
+    x, _ = jax.lax.scan(body, x0, (ts[:-1], ts[1:], keys))
+    return x, n
+
+
+def generate_latents_meanflow(apply_fn: Callable, shape, rng: jax.Array,
+                              n_steps: int = 1, cond: Optional[dict] = None,
+                              cfg_strength: float = 0.0, source=None,
+                              init_latents=None, init_strength: float = 0.0,
+                              t_scale: float = 999.0, warp_s: float = None,
+                              dtype=jnp.float32):
+    """Few-step sampling with an AVERAGE-velocity (MeanFlow) model — the
+    one-step generation the reference's README.md:158 research TODO points
+    at. Requires a dual-time model (``Unet(dual_time=True)``) trained with
+    ``flow.meanflow=true``; u(x, r, t) is the mean velocity over [r, t], so
+    each segment is EXACT (not an Euler approximation of v):
+
+        x_{t_{k+1}} = x_{t_k} + (t_{k+1} − t_k) · u(x_{t_k}, t_k, t_{k+1})
+
+    ``n_steps=1`` is genuine 1-NFE generation: x1 = x0 + u(x0, 0, 1).
+    Returns ``(latents, nfe)`` with nfe = n_steps (× 2 under CFG). The
+    default grid is uniform (warp_s=None): the time-warp targets
+    integration-error clustering that an exact average-velocity step does
+    not have."""
+    k_init, _ = jax.random.split(rng)
+    x0 = source if source is not None else jax.random.normal(k_init, shape,
+                                                             dtype)
+    if init_latents is not None:
+        x0 = (1 - init_strength) * x0 + init_strength * init_latents
+    else:
+        init_strength = 0.0
+    ts = _time_grid(max(n_steps + 1, 2), init_strength, warp_s, dtype)
+    base = dict(cond) if cond else {}
+
+    def body(x, inp):
+        t0, t1 = inp
+        c = dict(base)
+        c["time_horizon"] = jnp.full((x.shape[0],), t1, x.dtype) * t_scale
+        u = cfg_velocity(apply_fn, c, cfg_strength, t_scale)(x, t0)
+        return x + (t1 - t0) * u, None
+
+    x, _ = jax.lax.scan(body, x0, (ts[:-1], ts[1:]))
+    return x, int(ts.shape[0] - 1)
 
 
 def generate_latents_second_order(apply_fn: Callable, shape, rng: jax.Array,
@@ -403,16 +496,31 @@ def generate_latents(apply_fn: Callable, shape, rng: jax.Array,
                      t_scale: float = 999.0, warp_s: float = 0.5,
                      dtype=jnp.float32):
     """Dispatch by method ∈ {'rk4', 'euler', 'heun', 'midpoint', 'ab4',
-    'rk45'} (reference: sampling.py:127-146 — whose 'rk45' branch called a
-    removed function; here it works; heun/midpoint/ab4 are NFE-efficient
-    additions). ``warp_s``: time-warp slope (reference sampling.py:23-33;
-    0.5 = the default cubic warp, None = uniform grid)."""
+    'rk45', 'sde', 'meanflow'} (reference: sampling.py:127-146 — whose
+    'rk45' branch called a removed function; here it works; heun/midpoint/
+    ab4 are NFE-efficient additions, 'sde' the diffusion-comparison sampler
+    from README.md:148, 'meanflow' the 1-NFE average-velocity sampler from
+    README.md:158 — dual-time models only). ``warp_s``: time-warp slope
+    (reference sampling.py:23-33; 0.5 = the default cubic warp, None =
+    uniform grid)."""
     common = dict(cond=cond, cfg_strength=cfg_strength, source=source,
                   t_scale=t_scale, dtype=dtype)
     if method == "rk45":
         # adaptive: no fixed time grid, so the warp doesn't apply
         return generate_latents_rk45(apply_fn, shape, rng, **common)
     common["warp_s"] = warp_s
+    if method == "meanflow":
+        # dual-time (average-velocity) model, 1 NFE per segment; n_steps
+        # here means SEGMENTS (n_steps=1 → one-step generation)
+        return generate_latents_meanflow(apply_fn, shape, rng,
+                                         n_steps=n_steps,
+                                         init_latents=init_latents,
+                                         init_strength=init_strength,
+                                         **common)
+    if method == "sde":
+        return generate_latents_sde(apply_fn, shape, rng, n_steps=n_steps,
+                                    init_latents=init_latents,
+                                    init_strength=init_strength, **common)
     if method == "ab4":
         return generate_latents_ab4(apply_fn, shape, rng, n_steps=n_steps,
                                     init_latents=init_latents,

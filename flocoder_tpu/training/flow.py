@@ -29,7 +29,36 @@ from ..sampling import warp_time
 from .ema import ema_init, ema_update
 
 __all__ = ["FlowState", "create_flow_state", "make_flow_train_step",
-           "make_flow_eval_step", "make_flow_optimizer"]
+           "make_flow_eval_step", "make_flow_optimizer", "meanflow_target"]
+
+
+def meanflow_target(model_apply: Callable, params, x_r, r, t_h, v_star,
+                    cond: Optional[dict], t_scale: float = 999.0):
+    """MeanFlow (average-velocity) regression pair — returns ``(u, u_tgt)``.
+
+    The average-velocity field u(x_r, r, t) ≝ (1/(t−r))·∫_r^t v(x_s, s) ds
+    (Geng et al., "Mean Flows for One-step Generative Modeling",
+    arXiv:2505.13447 — the reference's last open research TODO,
+    README.md:158). Differentiating (t−r)·u = ∫_r^t v ds in r (t fixed,
+    x_r moving along the path with ẋ_r = v) gives the MeanFlow identity
+
+        u(x_r, r, t) = v(x_r, r) + (t − r) · d/dr u(x_r, r, t),
+
+    so the regression target is ``u_tgt = v_star + (t−r)·du/dr`` with the
+    total derivative du/dr = ∂u/∂r + (∂u/∂x)·v_star taken by ONE
+    forward-mode jvp (tangents (v_star, 1) on (x, r); the horizon input
+    rides in ``cond['time_horizon']`` with tangent 0). At r = t this
+    collapses to u_tgt = v_star — plain flow matching. The caller applies
+    ``stop_gradient`` to u_tgt (the paper's semi-gradient)."""
+    cond_h = dict(cond) if cond else {}
+    cond_h["time_horizon"] = t_h * t_scale
+
+    def ufun(xx, rr):
+        return model_apply(params, xx, rr * t_scale, cond_h)
+
+    u, du_dr = jax.jvp(ufun, (x_r, r), (v_star, jnp.ones_like(r)))
+    u_tgt = v_star + (t_h - r)[:, None, None, None] * du_dr
+    return u, u_tgt
 
 
 def _default_donate() -> bool:
@@ -103,7 +132,10 @@ def make_flow_train_step(model_apply: Callable, tx,
                          blank_latents: Optional[jax.Array] = None,
                          otf_aug: Optional[dict] = None,
                          paired_source: bool = False,
-                         curvature_weight: float = 0.0):
+                         curvature_weight: float = 0.0,
+                         meanflow: bool = False,
+                         meanflow_ratio: float = 0.25,
+                         meanflow_adaptive_p: float = 0.5):
     """Build the jitted train step.
 
     ``model_apply(params, x, t_vec, cond)`` and (optionally)
@@ -163,7 +195,26 @@ def make_flow_train_step(model_apply: Callable, tx,
     is ≈ one forward pass, no second backward pass). A field with zero
     path curvature integrates exactly in one Euler step, so this trains
     toward few-NFE serving in the base run (and composes with a reflow
-    distillation pass)."""
+    distillation pass).
+
+    ``meanflow``: train the model as an AVERAGE-velocity field u(x, r, t)
+    instead of an instantaneous one (see ``meanflow_target`` — the
+    reference's README.md:158 'Mean Flows' research TODO). Requires a
+    dual-time model (``Unet(dual_time=True)``). Per batch, a fraction
+    ``meanflow_ratio`` of samples draws r ~ U(0, t) (the rest use r = t,
+    which is exactly flow matching), the path point is interpolated at r,
+    and the loss is ‖u − sg(u_tgt)‖² with the paper's adaptive weighting
+    w = (‖err‖² + 1e-3)^(−meanflow_adaptive_p) (p=0 → plain MSE). One-step
+    serving: ``generate_latents(method='meanflow', n_steps=1)``. Not
+    combinable with curvature_weight or the inpainting mask path.
+    Pass ``t_scale=1.0`` with meanflow (train_flow.py does): the identity
+    target (t−r)·du/dr is O(1) only when the field is smooth in r, and the
+    reference's t·999 embedding convention puts sin(999·ω·r) in the jvp
+    path — measured raw target MSE 2.8e4 at init (vs 4.8 unscaled), which
+    never trains down. Serve with the same t_scale."""
+    if meanflow and (curvature_weight or mask_encoder_apply is not None):
+        raise ValueError("meanflow mode does not combine with "
+                         "curvature_weight or the inpainting mask path")
     if remat:
         model_apply = jax.checkpoint(model_apply)
     if donate is None:
@@ -284,6 +335,33 @@ def make_flow_train_step(model_apply: Callable, tx,
                 target = target[idx]
                 if class_cond is not None:
                     class_cond = class_cond[idx]
+
+            if meanflow:
+                # sample the second time: r ~ U(0, t) for a meanflow_ratio
+                # fraction of the batch, r = t (plain FM) for the rest; keys
+                # derived by fold_in so existing rng streams are untouched
+                k_r = jax.random.fold_in(k_t, 1)
+                k_sel = jax.random.fold_in(k_t, 2)
+                r = t * jax.random.uniform(k_r, (B,), t.dtype)
+                use_r = jax.random.uniform(k_sel, (B,), t.dtype) \
+                    < meanflow_ratio
+                r = jnp.where(use_r, r, t)
+                x_r = _interp(source, target, r)
+                v_star = target - source
+                cond = {"class_cond": class_cond, "mask_cond": mask}
+                u, u_tgt = meanflow_target(model_apply, params["model"],
+                                           x_r, r, t, v_star, cond, t_scale)
+                err = u - jax.lax.stop_gradient(u_tgt)
+                sq = jnp.mean(err ** 2, axis=(1, 2, 3))
+                if meanflow_adaptive_p:
+                    w = jax.lax.stop_gradient(
+                        (sq + 1e-3) ** (-meanflow_adaptive_p))
+                    loss = jnp.mean(w * sq)
+                else:
+                    loss = jnp.mean(sq)
+                aux = {"loss_flow": loss, "loss": loss,
+                       "loss_meanflow_raw": jnp.mean(sq)}
+                return loss, aux
 
             x = _interp(source, target, t)
             v_star = target - source

@@ -101,7 +101,7 @@ def create_app(config, out_dir: str = "samples_web"):
         p = {**defaults, **state["last_params"]}
         methods = "".join(
             f'<option value="{m}"{" selected" if m == p["method"] else ""}>'
-            f"{m}</option>" for m in ("rk4", "heun", "midpoint", "ab4", "euler", "rk45"))
+            f"{m}</option>" for m in ("rk4", "heun", "midpoint", "ab4", "euler", "rk45", "sde", "meanflow"))
         return _PAGE.format(ckpt=html.escape(str(p["ckpt"])), n=p["n"],
                             cfg=p["cfg"], steps=p["steps"], seed=p["seed"],
                             methods=methods,

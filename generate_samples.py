@@ -77,8 +77,12 @@ def load_models_once(config, flow_ckpt_path: str):
     H, W, C = codec.latent_shape(image_size) if hasattr(codec, "latent_shape") \
         else (16, 16, 4)
 
+    # dual-time (MeanFlow) checkpoints carry flow.meanflow=true in their
+    # embedded config (train_flow.py model_kwargs) and keep time UNSCALED
+    # (t_scale=1 — see train_flow.py on the jvp identity target)
+    meanflow = bool(ldcfg(ck_config, "meanflow", False))
     model = Unet(dim=H, channels=C, dim_mults=dim_mults, n_classes=n_classes,
-                 dtype=dtype)
+                 dtype=dtype, dual_time=meanflow)
     rng = jax.random.PRNGKey(0)
     cond0 = {"class_cond": jnp.zeros((1,), jnp.int32), "mask_cond": None}
     template = {"model": model.init(rng, jnp.zeros((1, H, W, C)),
@@ -97,7 +101,8 @@ def load_models_once(config, flow_ckpt_path: str):
 
     bundle = dict(model=model, params=params, codec=codec,
                   codec_params=codec_params, latent_shape=(H, W, C),
-                  n_classes=n_classes, config=ck_config)
+                  n_classes=n_classes, config=ck_config,
+                  t_scale=1.0 if meanflow else 999.0)
     _MODEL_CACHE[cache_key] = bundle
     # alias: a later call whose explicit flags match the checkpoint's own
     # resolution must not rebuild an identical bundle (and vice versa)
@@ -211,7 +216,7 @@ def generate_samples(config):
             n_classes=b["n_classes"], latent_shape=b["latent_shape"],
             cfg_strength=cfg_strength, is_midi=is_midi, keep_gray=keep_gray,
             init_latents=init_latents, init_strength=init_strength,
-            params=params["model"], mesh=serve_mesh)
+            params=params["model"], t_scale=b["t_scale"], mesh=serve_mesh)
         decoded = np.asarray(decoded)
         dt = time.time() - t0
         print(f"batch {batch_idx}: {bs} samples, nfe={int(nfe)}, "
@@ -282,7 +287,7 @@ def create_gradio_interface(config):
             n_samples = gr.Slider(1, 256, value=16, step=1, label="samples")
             cfg_s = gr.Slider(0, 10, value=3.0, step=0.5, label="CFG strength")
         with gr.Row():
-            method = gr.Radio(["rk4", "heun", "midpoint", "ab4", "euler", "rk45"], value="rk4",
+            method = gr.Radio(["rk4", "heun", "midpoint", "ab4", "euler", "rk45", "sde", "meanflow"], value="rk4",
                               label="integrator")
             steps = gr.Slider(4, 200, value=int(ldcfg(config, "n_steps", 100)),
                               step=1, label="steps")

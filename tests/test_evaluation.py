@@ -243,3 +243,46 @@ def test_sampler_fused_sharded_inpainting_operands():
     assert lat.shape == (B, 4, 4, 3)
     assert len(lat.sharding.device_set) == 8
     assert np.isfinite(np.asarray(dec)).all()
+
+
+def test_sampler_fused_sde_meanflow_nfe_and_t_scale():
+    """The fused path handles the round-3 methods: 'sde' matches the eager
+    sampler bit-for-bit (same key), 'meanflow' reports nfe = SEGMENTS
+    (n_steps, not n_steps-1), and t_scale is part of the fused-cache key so
+    a dual-time (t_scale=1) serving config can't collide with a t·999 one."""
+    import flocoder_tpu.evaluation as ev
+    from flocoder_tpu.sampling import generate_latents
+
+    codec = NoOpAE()
+    apply_p = lambda p, x, t, c: p["a"] - x
+    params = {"a": jnp.asarray(0.5)}
+
+    lat, dec, nfe = ev.sampler(apply_p, codec, {}, jax.random.PRNGKey(7),
+                               batch_size=4, n_steps=8,
+                               latent_shape=(4, 4, 3), cfg_strength=0.0,
+                               n_classes=0, method="sde", params=params)
+    assert int(nfe) == 7  # 8 grid points → 7 Euler–Maruyama intervals
+    _, k_gen, _ = jax.random.split(jax.random.PRNGKey(7), 3)
+    lat_ref, _ = generate_latents(lambda x, t, c: params["a"] - x,
+                                  (4, 4, 4, 3), k_gen, method="sde",
+                                  n_steps=8, cfg_strength=0.0)
+    np.testing.assert_allclose(np.asarray(lat), np.asarray(lat_ref),
+                               atol=1e-6)
+    assert np.isfinite(np.asarray(dec)).all()
+
+    # meanflow: n_steps means SEGMENTS (1 NFE each); t_scale=1.0 keys a
+    # separate cache entry from the default 999
+    before = len(ev._fused_cache)
+    lat1, _, nfe1 = ev.sampler(apply_p, codec, {}, jax.random.PRNGKey(7),
+                               batch_size=4, n_steps=1,
+                               latent_shape=(4, 4, 3), cfg_strength=0.0,
+                               n_classes=0, method="meanflow", params=params,
+                               t_scale=1.0)
+    assert int(nfe1) == 1
+    assert lat1.shape == (4, 4, 4, 3)
+    mid = len(ev._fused_cache)
+    assert mid == before + 1
+    ev.sampler(apply_p, codec, {}, jax.random.PRNGKey(7), batch_size=4,
+               n_steps=1, latent_shape=(4, 4, 3), cfg_strength=0.0,
+               n_classes=0, method="meanflow", params=params)  # t_scale=999
+    assert len(ev._fused_cache) == mid + 1

@@ -371,3 +371,105 @@ def test_curvature_penalty_shapes_training():
     # v = x@W ⇒ dv/dt = v_star@W ≠ 0 in general ⇒ different update
     assert float(jnp.abs(sr.params["model"]["w"] -
                          sp.params["model"]["w"]).max()) > 1e-7
+
+
+def test_meanflow_target_closed_forms():
+    """MeanFlow identity u_tgt = v* + (t−r)·du/dr against two analytic
+    fields (training/flow.py:meanflow_target):
+    - u = p·r (linear in the state time, no x dependence): du/dr = p
+    - u = x@W (linear in x): du/dr = (dx/dr)@W = v*@W"""
+    from flocoder_tpu.training.flow import meanflow_target
+    B = 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, 2, 2, 2))
+    v_star = jax.random.normal(jax.random.PRNGKey(1), (B, 2, 2, 2))
+    r = jnp.array([0.1, 0.3, 0.5, 0.9])
+    t = jnp.array([0.2, 0.9, 0.5, 1.0])
+
+    def apply_time(params, xx, tvec, cond):
+        return jnp.ones_like(xx) * params * tvec[:, None, None, None]
+
+    u, u_tgt = meanflow_target(apply_time, 2.5, x, r, t, v_star,
+                               {"class_cond": None}, t_scale=1.0)
+    np.testing.assert_allclose(np.asarray(u),
+                               2.5 * np.asarray(r)[:, None, None, None]
+                               * np.ones_like(x), rtol=1e-6)
+    expect = np.asarray(v_star) + (np.asarray(t) - np.asarray(r))[
+        :, None, None, None] * 2.5
+    np.testing.assert_allclose(np.asarray(u_tgt), expect, rtol=1e-5)
+
+    W = jnp.array([[0.5, -0.2], [0.3, 0.8]])
+
+    def apply_x(params, xx, tvec, cond):
+        return jnp.einsum("bhwc,cd->bhwd", xx, params)
+
+    u, u_tgt = meanflow_target(apply_x, W, x, r, t, v_star, None, t_scale=1.0)
+    np.testing.assert_allclose(np.asarray(u),
+                               np.einsum("bhwc,cd->bhwd", x, W), rtol=1e-6)
+    expect = np.asarray(v_star) + (np.asarray(t) - np.asarray(r))[
+        :, None, None, None] * np.einsum("bhwc,cd->bhwd", v_star, W)
+    np.testing.assert_allclose(np.asarray(u_tgt), expect, rtol=1e-5)
+
+
+def test_meanflow_ratio_zero_equals_plain_fm():
+    """With meanflow_ratio=0 every sample has r=t, u_tgt collapses to v*,
+    and (adaptive weighting off) the meanflow loss equals the plain
+    flow-matching loss for the same rng and a horizon-blind model."""
+    apply_fn, params = _tiny_model()
+    tx = make_flow_optimizer(1e-2)
+    batch = {"target": jax.random.normal(jax.random.PRNGKey(2), (8, 4, 4, 2))}
+    s0 = create_flow_state(params, tx)
+    plain = make_flow_train_step(apply_fn, tx, donate=False, cfg_dropout=0.0)
+    mf = make_flow_train_step(apply_fn, tx, donate=False, cfg_dropout=0.0,
+                              meanflow=True, meanflow_ratio=0.0,
+                              meanflow_adaptive_p=0.0)
+    _, ap = plain(s0, batch, jax.random.PRNGKey(9))
+    _, am = mf(s0, batch, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(float(am["loss"]), float(ap["loss"]),
+                               rtol=1e-5)
+
+
+def test_meanflow_step_with_dual_time_unet():
+    """Production wiring: a dual-time Unet trains under the meanflow step —
+    loss finite, params move, rng-deterministic; and the mode refuses to
+    combine with curvature_weight."""
+    import pytest
+    from flocoder_tpu.models.unet import Unet
+    model = Unet(dim=8, dim_mults=(1, 2), channels=2, dual_time=True)
+    params = {"model": model.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 4, 4, 2)), jnp.zeros((2,)),
+        {"class_cond": None, "mask_cond": None})}
+    apply_fn = lambda p, x, t, c: model.apply(p, x, t, c)
+    tx = make_flow_optimizer(1e-3)
+    s0 = create_flow_state(params, tx)
+    step = make_flow_train_step(apply_fn, tx, donate=False, meanflow=True,
+                                meanflow_ratio=0.5)
+    batch = {"target": jax.random.normal(jax.random.PRNGKey(1), (8, 4, 4, 2))}
+    s1, a1 = step(s0, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(a1["loss"]))
+    assert np.isfinite(float(a1["loss_meanflow_raw"]))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s0.params, s1.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+    s2, a2 = step(s0, batch, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(a1["loss"]), float(a2["loss"]))
+    with pytest.raises(ValueError):
+        make_flow_train_step(apply_fn, tx, meanflow=True,
+                             curvature_weight=1.0)
+
+
+def test_meanflow_sharded_mesh():
+    """The meanflow loss (jvp inside loss_fn) composes with the shard_map
+    multi-chip path: finite loss on a 4-device mesh, params move."""
+    from flocoder_tpu.parallel.mesh import make_mesh, shard_batch
+    apply_fn, params = _tiny_model()
+    tx = make_flow_optimizer(1e-2)
+    mesh = make_mesh(n_data=4)
+    step = make_flow_train_step(apply_fn, tx, donate=False, mesh=mesh,
+                                meanflow=True, meanflow_ratio=0.5)
+    state = create_flow_state(params, tx)
+    rng = np.random.default_rng(7)
+    batch = shard_batch(mesh, {
+        "target": rng.standard_normal((8, 4, 4, 2)).astype(np.float32)})
+    state, aux = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(aux["loss"]))
+    assert np.isfinite(float(aux["loss_meanflow_raw"]))

@@ -228,3 +228,61 @@ def test_init_latents_path():
     # starting near the init point and integrating only over [0.9, 1]
     assert x.shape == init.shape
     assert nfe < 20 * 4  # fewer steps since init_strength shrinks the grid
+
+
+def test_sde_zero_noise_reduces_to_euler():
+    """noise_scale=0 must make the SDE sampler bit-identical to the Euler
+    probability-flow sampler (same grid, drift collapses to v)."""
+    from flocoder_tpu.sampling import (generate_latents_euler,
+                                       generate_latents_sde)
+    rng = jax.random.PRNGKey(5)
+    xe, ne = generate_latents_euler(_linear_field, (4, 2, 2, 1), rng,
+                                    n_steps=30, cfg_strength=0.0, t_scale=1.0)
+    xs, ns = generate_latents_sde(_linear_field, (4, 2, 2, 1), rng,
+                                  n_steps=30, cfg_strength=0.0, t_scale=1.0,
+                                  noise_scale=0.0)
+    assert ns == ne
+    np.testing.assert_array_equal(np.asarray(xe), np.asarray(xs))
+
+
+def test_sde_preserves_gaussian_marginals():
+    """Marginal-preservation: for the analytic rectified-flow velocity of an
+    independent Gaussian→Gaussian coupling (x0~N(0,1), x1~N(μ,σ²)), the SDE
+    dx = [v + g²/2·s]dt + g dW with the velocity-derived score
+    s = (t·v − x)/(1−t) must land on N(μ, σ²) at t=1 for ANY churn level —
+    the diffusion sampler draws from the same model distribution as the ODE
+    (sampling.py:generate_latents_sde derivation)."""
+    from flocoder_tpu.sampling import generate_latents_sde
+    mu, sig = 1.5, 0.6
+
+    def v_exact(x, t_vec, cond):
+        t = t_vec[:, None, None, None]
+        var_t = (1 - t) ** 2 + (t * sig) ** 2
+        return mu + ((t * sig * sig - (1 - t)) / var_t) * (x - t * mu)
+
+    for noise_scale in (0.0, 0.8):
+        x, nfe = generate_latents_sde(
+            v_exact, (8192, 1, 1, 1), jax.random.PRNGKey(11), n_steps=300,
+            cfg_strength=0.0, t_scale=1.0, warp_s=None,
+            noise_scale=noise_scale)
+        assert nfe == 299
+        m, s = float(jnp.mean(x)), float(jnp.std(x))
+        assert abs(m - mu) < 0.05, (noise_scale, m)
+        assert abs(s - sig) < 0.05, (noise_scale, s)
+
+
+def test_sde_dispatch_and_stochasticity():
+    """method='sde' dispatches; two different keys give different samples
+    (it IS stochastic), same key reproduces."""
+    from flocoder_tpu.sampling import generate_latents
+    x1, _ = generate_latents(_linear_field, (2, 2, 2, 1),
+                             jax.random.PRNGKey(0), method="sde", n_steps=10,
+                             cfg_strength=0.0, t_scale=1.0)
+    x1b, _ = generate_latents(_linear_field, (2, 2, 2, 1),
+                              jax.random.PRNGKey(0), method="sde", n_steps=10,
+                              cfg_strength=0.0, t_scale=1.0)
+    x2, _ = generate_latents(_linear_field, (2, 2, 2, 1),
+                             jax.random.PRNGKey(1), method="sde", n_steps=10,
+                             cfg_strength=0.0, t_scale=1.0)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x1b))
+    assert float(jnp.abs(x1 - x2).max()) > 1e-6

@@ -142,9 +142,23 @@ def train_flow(config):
     # without the flag, so the eval/sampling paths use a ring-free twin
     n_model = int(dict(mesh.shape).get("model", 1))
     use_ring = bool(ldcfg(config, "ring_attention", False)) and n_model > 1
+    # flow.meanflow=true: dual-time average-velocity training (MeanFlow,
+    # reference README.md:158 research TODO) → 1-NFE serving via
+    # generate_samples +method=meanflow
+    meanflow = bool(ldcfg(config, "meanflow", False))
+    if meanflow and (inpainting or reflow):
+        raise SystemExit("flow.meanflow=true does not combine with "
+                         "inpainting datasets or flow.reflow")
+    # MeanFlow models keep time UNSCALED: the identity target
+    # (t−r)·du/dr is O(1) only when the field is smooth in r, and the
+    # reference's t·999 convention puts sin(999·ω·r) embeddings in the jvp
+    # path — measured raw target MSE 2.8e4 (vs 4.8 unscaled) at init, which
+    # never trains down. Serving reads the same flag from the checkpoint
+    # config (generate_samples.load_models_once).
+    t_scale = 1.0 if meanflow else 999.0
     model_kwargs = dict(dim=H, channels=C, dim_mults=dim_mults,
                         n_classes=n_classes, mask_cond=inpainting,
-                        mask_channels=C, dtype=dtype)
+                        mask_channels=C, dtype=dtype, dual_time=meanflow)
     model = Unet(**model_kwargs)  # eval / init / sampling twin (no ring)
     train_model = (Unet(ring_axis="model", ring_axis_size=n_model,
                         **model_kwargs) if use_ring else model)
@@ -247,6 +261,10 @@ def train_flow(config):
         # flow.curvature_weight > 0 adds the path-straightness penalty
         # (reference README.md:147 TODO; training/flow.py docstring)
         curvature_weight=float(ldcfg(config, "curvature_weight", 0.0)),
+        meanflow=meanflow,
+        meanflow_ratio=float(ldcfg(config, "meanflow_ratio", 0.25)),
+        meanflow_adaptive_p=float(ldcfg(config, "meanflow_adaptive_p", 0.5)),
+        t_scale=t_scale,
         mesh=step_mesh)
     train_step = make_flow_train_step(train_model_apply, tx,
                                       steps_per_call=steps_per_call,
@@ -263,7 +281,7 @@ def train_flow(config):
         print(f"FSDP parameter sharding over {mesh.shape}")
     eval_step = make_flow_eval_step(model_apply,
                                     mask_encoder_apply=mask_encoder_apply,
-                                    paired_source=reflow)
+                                    paired_source=reflow, t_scale=t_scale)
 
     use_wandb = not no_wandb
     if use_wandb:
@@ -372,8 +390,9 @@ def train_flow(config):
                 batch_size=min(batch_size, 256), n_classes=n_classes,
                 # eval_method: rk4 (reference default) | heun | midpoint |
                 # ab4 | euler — ab4 cuts eval NFE ~3x at matching accuracy
-                method=str(ldcfg(config, "eval_method", "rk4")),
-                n_steps=n_steps_eval,
+                method=str(ldcfg(config, "eval_method",
+                                 "meanflow" if meanflow else "rk4")),
+                n_steps=n_steps_eval, t_scale=t_scale,
                 cfg_strength=cfg_strength, is_midi=is_midi,
                 keep_gray=keep_gray, cb_tracker=cb_tracker,
                 codec_quantize=codec_quantize, use_wandb=use_wandb,
