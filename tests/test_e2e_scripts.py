@@ -355,3 +355,64 @@ def test_reflow_pairs_tool_and_training(tmp_path, monkeypatch):
     })
     state = flow.train_flow(reflow_cfg)
     assert int(state.step) > 0
+
+
+def test_meanflow_script_loop(tmp_path, monkeypatch):
+    """Full MeanFlow production loop through the scripts: train_flow with
+    +meanflow=true (dual-time model, t_scale=1, meanflow eval) → checkpoint
+    (flag embedded) → generate_samples +method=meanflow +n_steps=1 serves
+    genuine 1-NFE samples off the dual-time rebuild. Also: the mode refuses
+    to combine with reflow."""
+    import jax.numpy as jnp
+
+    flow = _load_script("train_flow")
+    gen = _load_script("generate_samples")
+    monkeypatch.chdir(tmp_path)
+
+    data = str(tmp_path / "toy")
+    _write_toy_latents(f"{data}_encoded_resize")
+    cfg = config_from_dict({
+        "data": data, "image_size": 8, "no_wandb": True, "seed": 0,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "flow": {"batch_size": 16, "learning_rate": 1e-3, "epochs": 1,
+                 "dim_mults": [1, 2], "ckpt_every": 1, "n_steps": 2,
+                 "num_workers": 1, "donate": False, "meanflow": True,
+                 "unet": {"n_classes": 4}},
+    })
+    state = flow.train_flow(cfg)
+    assert int(state.step) > 0
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    # the dual-time horizon MLP exists in the trained tree
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    names = {"/".join(str(p) for p in path) for path, _ in flat}
+    assert any("Dense_2" in n or "Dense" in n for n in names)
+
+    import glob as _glob
+    ckpts = _glob.glob(os.path.join("checkpoints", "flowema_*.npz"))
+    assert ckpts, "meanflow training saved no checkpoint"
+
+    # 1-NFE serving off the checkpoint: the embedded config flips
+    # dual_time=True and t_scale=1 in load_models_once
+    gen_cfg = config_from_dict({
+        "n_samples": 4, "batch_size": 4, "n_steps": 1, "method": "meanflow",
+        "seed": 0, "output_dir": str(tmp_path / "out_mf"),
+    })
+    gen._MODEL_CACHE.clear()
+    gen.generate_samples(gen_cfg)
+    assert len(list((tmp_path / "out_mf").glob("sample_*.png"))) == 4
+    b = gen.load_models_once(gen_cfg, ckpts[0])
+    assert b["model"].dual_time is True
+    assert float(b["t_scale"]) == 1.0
+
+    # guard: meanflow does not combine with reflow
+    bad = config_from_dict({
+        "data": data, "no_wandb": True,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "flow": {"batch_size": 8, "epochs": 1, "dim_mults": [1, 2],
+                 "meanflow": True, "reflow": True, "num_workers": 1},
+    })
+    with pytest.raises(SystemExit):
+        flow.train_flow(bad)

@@ -55,6 +55,14 @@ def train_flow(config):
     # flow.reflow=true: rectified-flow distillation on a paired dataset
     # from tools/make_reflow_pairs.py (already latents — no codec suffix)
     reflow = bool(ldcfg(config, "reflow", False))
+    # flow.meanflow=true: dual-time average-velocity training (MeanFlow,
+    # reference README.md:158 research TODO) → 1-NFE serving via
+    # generate_samples +method=meanflow. Fail fast: incompatible with
+    # fixed-coupling reflow (MeanFlow re-draws (r,t) pairs per step).
+    meanflow = bool(ldcfg(config, "meanflow", False))
+    if meanflow and reflow:
+        raise SystemExit("flow.meanflow=true does not combine with "
+                         "inpainting datasets or flow.reflow")
     if "encoded" not in data_path and not reflow:
         data_path = f"{data_path}_encoded_{config.codec.choice}"
     batch_size = int(ldcfg(config, "batch_size", 256))
@@ -142,11 +150,9 @@ def train_flow(config):
     # without the flag, so the eval/sampling paths use a ring-free twin
     n_model = int(dict(mesh.shape).get("model", 1))
     use_ring = bool(ldcfg(config, "ring_attention", False)) and n_model > 1
-    # flow.meanflow=true: dual-time average-velocity training (MeanFlow,
-    # reference README.md:158 research TODO) → 1-NFE serving via
-    # generate_samples +method=meanflow
-    meanflow = bool(ldcfg(config, "meanflow", False))
-    if meanflow and (inpainting or reflow):
+    # (meanflow parsed up top, before data loading, for fail-fast config
+    # validation; here only the dataset-dependent inpainting clash remains)
+    if meanflow and inpainting:
         raise SystemExit("flow.meanflow=true does not combine with "
                          "inpainting datasets or flow.reflow")
     # MeanFlow models keep time UNSCALED: the identity target
