@@ -16,6 +16,7 @@ __version__ = "0.1.0"
 # Curated public API (lazy imports keep `import flocoder_tpu` light).
 _LAZY = {
     "Unet": "flocoder_tpu.models.unet",
+    "HDiT": "flocoder_tpu.models.hdit",
     "setup_codec": "flocoder_tpu.models.codecs",
     "VQVAE": "flocoder_tpu.models.codecs",
     "NoOpAE": "flocoder_tpu.models.codecs",

@@ -81,8 +81,16 @@ def load_models_once(config, flow_ckpt_path: str):
     # embedded config (train_flow.py model_kwargs) and keep time UNSCALED
     # (t_scale=1 — see train_flow.py on the jvp identity target)
     meanflow = bool(ldcfg(ck_config, "meanflow", False))
-    model = Unet(dim=H, channels=C, dim_mults=dim_mults, n_classes=n_classes,
-                 dtype=dtype, dual_time=meanflow)
+    # flow.arch=hdit checkpoints rebuild the Hourglass DiT family from the
+    # same embedded config (train_flow.py arch dispatch)
+    if str(ldcfg(ck_config, "arch", "unet")).lower() == "hdit":
+        from flocoder_tpu.models.hdit import hdit_from_config
+        model = hdit_from_config(ck_config, channels=C,
+                                 n_classes=n_classes, dtype=dtype,
+                                 dual_time=meanflow)
+    else:
+        model = Unet(dim=H, channels=C, dim_mults=dim_mults,
+                     n_classes=n_classes, dtype=dtype, dual_time=meanflow)
     rng = jax.random.PRNGKey(0)
     cond0 = {"class_cond": jnp.zeros((1,), jnp.int32), "mask_cond": None}
     template = {"model": model.init(rng, jnp.zeros((1, H, W, C)),

@@ -162,12 +162,32 @@ def train_flow(config):
     # never trains down. Serving reads the same flag from the checkpoint
     # config (generate_samples.load_models_once).
     t_scale = 1.0 if meanflow else 999.0
-    model_kwargs = dict(dim=H, channels=C, dim_mults=dim_mults,
-                        n_classes=n_classes, mask_cond=inpainting,
-                        mask_channels=C, dtype=dtype, dual_time=meanflow)
-    model = Unet(**model_kwargs)  # eval / init / sampling twin (no ring)
-    train_model = (Unet(ring_axis="model", ring_axis_size=n_model,
-                        **model_kwargs) if use_ring else model)
+    # flow.arch=hdit swaps the velocity field for the Hourglass DiT family
+    # (models/hdit.py) — the reference's non-pre-encoded branch names this
+    # exact model but its module is absent from the package
+    # (reference train_flow.py:292-300); here it is a real, servable
+    # alternative on the SAME pre-encoded pipeline. Everything downstream
+    # is model_apply-generic.
+    arch = str(ldcfg(config, "arch", "unet")).lower()
+    if arch == "hdit":
+        if inpainting:
+            raise SystemExit("flow.arch=hdit has no mask-conditioning path "
+                             "(neither does the reference's HDiT branch); "
+                             "use arch=unet for inpainting datasets")
+        from flocoder_tpu.models.hdit import hdit_from_config
+        model = hdit_from_config(config, channels=C, n_classes=n_classes,
+                                 dtype=dtype, dual_time=meanflow)
+        train_model = (model.clone(ring_axis="model",
+                                   ring_axis_size=n_model)
+                       if use_ring else model)
+    else:
+        model_kwargs = dict(dim=H, channels=C, dim_mults=dim_mults,
+                            n_classes=n_classes, mask_cond=inpainting,
+                            mask_channels=C, dtype=dtype,
+                            dual_time=meanflow)
+        model = Unet(**model_kwargs)  # eval/init/sampling twin (no ring)
+        train_model = (Unet(ring_axis="model", ring_axis_size=n_model,
+                            **model_kwargs) if use_ring else model)
     if use_ring:
         print(f"ring attention over 'model' axis (size {n_model})")
     rng, k_model = jax.random.split(rng)
