@@ -96,6 +96,32 @@ def test_train_flow_script_partial_dispatch_window(tmp_path):
     assert int(state.step) > 0  # the remainder path stepped
 
 
+def test_train_flow_script_batch_size_schedule(tmp_path, capsys):
+    """flow.bs_step_every grows the loader's batch size between epochs
+    (reference README.md:143 TODO "variable size scheduler"): 48 train
+    latents at bs 16 → 3 steps in epoch 1, bs 32 → 1 step in epoch 2."""
+    script = _load_script("train_flow")
+
+    data = str(tmp_path / "toy")
+    _write_toy_latents(f"{data}_encoded_resize")  # 48 train latents
+    cfg = config_from_dict({
+        "data": data, "image_size": 8, "no_wandb": True, "seed": 0,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "flow": {"batch_size": 16, "learning_rate": 1e-3, "epochs": 2,
+                 "dim_mults": [1, 2], "no_eval": True, "ckpt_every": 9999,
+                 "num_workers": 1, "donate": False,
+                 "bs_step_every": 1, "bs_gamma": 2.0, "bs_max": 32,
+                 "unet": {"n_classes": 4}},
+    })
+    state = script.train_flow(cfg)
+    assert int(state.step) == 4  # 3 steps @ bs16 + 1 step @ bs32
+    out = capsys.readouterr().out
+    assert "batch size 16 → 32" in out
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
 def test_train_vqgan_script_on_mesh(tmp_path, monkeypatch):
     script = _load_script("train_vqgan")
 

@@ -67,6 +67,34 @@ def test_cosine_warm_restart_decay_schedule():
     assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
 
 
+def test_batch_size_schedule_step_policy():
+    from flocoder_tpu.training.schedules import batch_size_schedule
+    # StepBS semantics: ×gamma every step_every epochs (1-based epochs)
+    bs = batch_size_schedule(64, gamma=2.0, step_every=5)
+    assert [bs(e) for e in (1, 5, 6, 10, 11)] == [64, 64, 128, 128, 256]
+    # cap + quantization to the mesh shard count
+    bs = batch_size_schedule(48, gamma=2.0, step_every=1, max_bs=100,
+                             multiple_of=8)
+    assert bs(1) == 48 and bs(2) == 96 and bs(3) == 96  # 100 → floor to 96
+    # gamma < 1 shrinks but never below multiple_of
+    bs = batch_size_schedule(16, gamma=0.5, step_every=1, multiple_of=8)
+    assert bs(2) == 8 and bs(5) == 8
+
+
+def test_batch_size_schedule_milestones():
+    from flocoder_tpu.training.schedules import batch_size_schedule
+    # MultiStepBS semantics: ×gamma at each milestone epoch
+    bs = batch_size_schedule(32, gamma=2.0, milestones=[3, 7])
+    assert [bs(e) for e in (1, 2, 3, 6, 7, 20)] == [32, 32, 64, 64, 128, 128]
+    # constant when neither policy knob is set
+    bs = batch_size_schedule(32)
+    assert bs(1) == bs(99) == 32
+    with pytest.raises(ValueError):
+        batch_size_schedule(32, step_every=2, milestones=[3])
+    with pytest.raises(ValueError):
+        batch_size_schedule(32, gamma=0.0, step_every=2)
+
+
 def test_ema_update_converges():
     p = {"w": jnp.zeros(3)}
     ema = ema_init(p)

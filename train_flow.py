@@ -66,6 +66,29 @@ def train_flow(config):
     if "encoded" not in data_path and not reflow:
         data_path = f"{data_path}_encoded_{config.codec.choice}"
     batch_size = int(ldcfg(config, "batch_size", 256))
+    # variable batch-size schedule (reference README.md:143 TODO
+    # "Try variable size scheduler" — bs-scheduler StepBS/MultiStepBS
+    # semantics; flocoder_tpu/training/schedules.py:batch_size_schedule).
+    # Each distinct size is one extra XLA compile, cached after first use;
+    # sizes stay multiples of the mesh's batch-shard count. The LR
+    # schedule's step→epoch conversion keeps the BASE batch size's
+    # steps_per_epoch (documented drift, matches "bigger batches = fewer
+    # optimizer steps = effectively faster LR decay" of the torch package).
+    bs_step_every = int(ldcfg(config, "bs_step_every", 0))
+    bs_milestones = [int(m) for m in (ldcfg(config, "bs_milestones", None)
+                                      or [])]
+    bs_sched = None
+    if bs_step_every or bs_milestones:
+        from flocoder_tpu.parallel.mesh import batch_shard_count
+        from flocoder_tpu.training.schedules import batch_size_schedule
+        bs_sched = batch_size_schedule(
+            batch_size, gamma=float(ldcfg(config, "bs_gamma", 2.0)),
+            step_every=bs_step_every, milestones=bs_milestones,
+            max_bs=int(ldcfg(config, "bs_max", 0)) or None,
+            multiple_of=batch_shard_count(mesh))
+        print(f"batch-size schedule: start {bs_sched(1)}, "
+              f"gamma {ldcfg(config, 'bs_gamma', 2.0)}, "
+              f"{'every ' + str(bs_step_every) + ' epochs' if bs_step_every else 'milestones ' + str(bs_milestones)}")
     n_classes = int(ldcfg(config, "n_classes", 0))
     learning_rate = float(ldcfg(config, "learning_rate", 1e-4))
     epochs = int(ldcfg(config, "epochs", 100))
@@ -352,6 +375,13 @@ def train_flow(config):
             yield b, 1
 
     for epoch in range(start_epoch, epochs + 1):
+        if bs_sched is not None:
+            new_bs = bs_sched(epoch)
+            if new_bs != train_loader.batch_size:
+                print(f"  batch size {train_loader.batch_size} → {new_bs} "
+                      f"(bs schedule)")
+                train_loader.batch_size = new_bs
+        cur_bs = train_loader.batch_size
         ep_losses = []
         n_steps_done = 0
         t_ep = time.time()
@@ -369,11 +399,11 @@ def train_flow(config):
         lr_now = float(sched(int(state.step)))
         print(f"epoch {epoch}/{epochs}  loss {mean_loss:.4f}  "
               f"lr {lr_now:.2e}  {steps_per_sec:.2f} it/s  "
-              f"({steps_per_sec * batch_size:.0f} samples/s)")
+              f"({steps_per_sec * cur_bs:.0f} samples/s)")
         if use_wandb:
             wblog.log({"Loss/train": mean_loss, "Learning Rate": lr_now,
-                       "epoch": epoch, "samples_per_sec":
-                       steps_per_sec * batch_size})
+                       "epoch": epoch, "batch_size": cur_bs,
+                       "samples_per_sec": steps_per_sec * cur_bs})
 
         # ---- eval cadence (reference: train_flow.py:400); flow.no_eval=true
         # skips sampling evals entirely (dryrun / pure-throughput runs) -----
