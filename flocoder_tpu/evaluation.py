@@ -20,7 +20,8 @@ from .sampling import generate_latents
 from .utils import logging as wblog
 from .utils.viz import save_img_grid
 
-__all__ = ["decode_latents", "sampler", "evaluate_model", "make_e2e_sampler"]
+__all__ = ["decode_latents", "sampler", "evaluate_model",
+           "evaluate_model_audio", "make_e2e_sampler"]
 
 # Cache of fused generate+decode executables keyed on everything that shapes
 # the trace. Callers that pass ``params=`` (train_flow evals, the serving
@@ -282,6 +283,72 @@ def evaluate_model(model_apply: Callable, codec, codec_params, epoch: int,
     from .ops.fid import feature_backend_name
     out["FID_feature_backend"] = feature_backend_name(feature_fn)
     if use_wandb and metrics:
+        wblog.log({f"metrics/{tag}{k}": v for k, v in out.items()}
+                  | {"epoch": epoch})
+    return out
+
+
+def evaluate_model_audio(model_apply: Callable, codec, codec_params,
+                         epoch: int, target_latents, rng: jax.Array,
+                         cond: Optional[dict] = None, batch_size: int = 64,
+                         n_classes: int = 0, method: str = "rk4",
+                         n_steps: int = 50, cfg_strength: float = 3.0,
+                         tag: str = "", use_wandb: bool = True,
+                         output_dir: str = "./", params=None,
+                         t_scale: float = 999.0, mesh=None,
+                         n_demo_wavs: int = 4, **_) -> dict:
+    """Audio twin of ``evaluate_model`` for DAC-codec flows
+    (models/audio_codec.py): sample folded latents, decode to waveforms,
+    compute latent-space metrics + a log-mel distributional Sinkhorn (the
+    audio stand-in for FID_px — mean log-mel vectors per clip, honest-named
+    ``sinkhorn_mel``), and save generated/target WAV pairs so progress is
+    audible. Extra image-eval kwargs (is_midi, cb_tracker, ...) are accepted
+    and ignored so train_flow can call either eval with one kwargs dict."""
+    from .data.audio_io import save_wav
+    from .metrics import sinkhorn_loss
+    from .ops.audio import mel_filterbank, stft
+
+    batch_size = min(batch_size, target_latents.shape[0])
+    latent_shape = target_latents.shape[-3:]
+    pred_latents, decoded_pred, nfe = sampler(
+        model_apply, codec, codec_params, rng, method=method,
+        batch_size=batch_size, n_steps=n_steps, cond=cond,
+        n_classes=n_classes, latent_shape=latent_shape,
+        cfg_strength=cfg_strength, params=params, t_scale=t_scale, mesh=mesh)
+    decoded_target = codec.decode(codec_params, target_latents[:batch_size])
+
+    sr = getattr(codec, "sample_rate", 16000)
+    n_fft = 512
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, 40))
+
+    @jax.jit
+    def _mel_stats(w):
+        # (B, T, 1) → per-clip mean log-mel vector (B, 40)
+        m = jnp.log(stft(w[..., 0], n_fft) @ fb + 1e-5)
+        return m.mean(axis=1)
+
+    tl, pl = target_latents[:batch_size], pred_latents
+    metrics = {
+        "sinkhorn": sinkhorn_loss(tl, pl),
+        "sinkhorn_mel": sinkhorn_loss(_mel_stats(decoded_target),
+                                      _mel_stats(decoded_pred)),
+        "mse": jnp.mean((pl - tl) ** 2),
+        "pred_mean": pl.mean(), "targ_mean": tl.mean(),
+        "pred_std": pl.std(), "targ_std": tl.std(),
+        "nfe": jnp.asarray(float(nfe)),
+    }
+    import os
+    os.makedirs(output_dir, exist_ok=True)
+    for i in range(min(n_demo_wavs, batch_size)):
+        save_wav(os.path.join(
+            output_dir, f"{tag}ep{epoch:04d}_{i}_gen.wav"),
+            np.asarray(decoded_pred[i]), sr)
+    for i in range(min(2, batch_size)):
+        save_wav(os.path.join(
+            output_dir, f"{tag}ep{epoch:04d}_{i}_target.wav"),
+            np.asarray(decoded_target[i]), sr)
+    out = {k: float(v) for k, v in metrics.items()}
+    if use_wandb:
         wblog.log({f"metrics/{tag}{k}": v for k, v in out.items()}
                   | {"epoch": epoch})
     return out

@@ -557,7 +557,8 @@ class VQVAE:
 def setup_codec(config, load_checkpoint: bool = True,
                 ring_axis_size: int = 1, dtype=None):
     """Build a codec from ``config.codec.choice`` ∈ {noop, resize, sd,
-    vqgan, vqgan_plus} (reference: codecs.py:668-741). Returns the codec
+    vqgan, vqgan_plus, dac} (reference: codecs.py:668-741; ``dac`` is the
+    audio family, models/audio_codec.py). Returns the codec
     object; parameter loading is the caller's concern via
     training.checkpoint (kept separate so jit boundaries stay clean).
 
@@ -594,6 +595,21 @@ def setup_codec(config, load_checkpoint: bool = True,
         quant_e = str(ldcfg(config, "quant_encode", "")) == "int8"
         return SDVAE(image_size=image_size, dtype=dtype, quant_decode=quant,
                      quant_encode=quant_e)
+    if choice == "dac":
+        # DAC-style audio codec (models/audio_codec.py — reference
+        # README.md:144 TODO "Add audio example, e.g. using DAC"). Audio
+        # configs put waveform keys under codec.*; latent_shape() takes the
+        # crop length instead of an image size.
+        from .audio_codec import DACCodec
+        return DACCodec(
+            sample_rate=int(ldcfg(config, "sample_rate", 16000)),
+            strides=tuple(ldcfg(config, "strides", [2, 4, 8, 8])),
+            base_channels=int(ldcfg(config, "base_channels", 32)),
+            vq_embedding_dim=int(ldcfg(config, "vq_embedding_dim", 8)),
+            codebook_levels=int(ldcfg(config, "codebook_levels", 4)),
+            vq_num_embeddings=int(ldcfg(config, "vq_num_embeddings", 512)),
+            commitment_weight=float(ldcfg(config, "commitment_weight", 0.25)),
+            dtype=dtype)
     if choice in ("vqgan", "vqgan_plus"):
         kw = dict(
             dtype=dtype,

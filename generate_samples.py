@@ -74,8 +74,16 @@ def load_models_once(config, flow_ckpt_path: str):
             and codec.decoder.quant != quant:
         codec.decoder = codec.decoder.clone(quant=quant)
     image_size = int(ldcfg(ck_config, "image_size", 128))
-    H, W, C = codec.latent_shape(image_size) if hasattr(codec, "latent_shape") \
-        else (16, 16, 4)
+    is_audio = getattr(codec, "is_audio", False)
+    if is_audio:
+        # audio (DAC) checkpoints size latents off the waveform crop length
+        # (models/audio_codec.py latent_shape/fold contract)
+        crop_len = int(ldcfg(ck_config, "crop_len", 32768))
+        H, W, C = codec.latent_shape(crop_len)
+    elif hasattr(codec, "latent_shape"):
+        H, W, C = codec.latent_shape(image_size)
+    else:
+        H, W, C = (16, 16, 4)
 
     # dual-time (MeanFlow) checkpoints carry flow.meanflow=true in their
     # embedded config (train_flow.py model_kwargs) and keep time UNSCALED
@@ -99,8 +107,12 @@ def load_models_once(config, flow_ckpt_path: str):
                             strict=False)
 
     codec_params = codec.init(jax.random.PRNGKey(1), jnp.zeros(
+        (1, crop_len, 1) if is_audio else
         (1, image_size, image_size, codec.in_channels)))
     codec_ckpt = ck_config.codec.get("checkpoint") if "codec" in ck_config else None
+    if is_audio and not (codec_ckpt and os.path.exists(str(codec_ckpt))):
+        from flocoder_tpu.training.checkpoint import latest_checkpoint
+        codec_ckpt = latest_checkpoint("checkpoints", "dac_")
     if codec_ckpt and os.path.exists(str(codec_ckpt)):
         cck = load_checkpoint(str(codec_ckpt))
         codec_params = load_into_tree(codec_params,
@@ -229,7 +241,17 @@ def generate_samples(config):
         dt = time.time() - t0
         print(f"batch {batch_idx}: {bs} samples, nfe={int(nfe)}, "
               f"{dt:.2f}s ({bs/dt:.1f} samples/s)")
-        save_sample_batch(decoded, batch_idx, output_dir, is_midi=is_midi)
+        if getattr(b["codec"], "is_audio", False):
+            # DAC codec decodes to waveforms — write WAVs, not PNGs
+            from flocoder_tpu.data.audio_io import save_wav
+            os.makedirs(output_dir, exist_ok=True)
+            sr = getattr(b["codec"], "sample_rate", 16000)
+            for i in range(decoded.shape[0]):
+                save_wav(os.path.join(
+                    output_dir, f"sample_{batch_idx:03d}_{i:03d}.wav"),
+                    decoded[i], sr)
+        else:
+            save_sample_batch(decoded, batch_idx, output_dir, is_midi=is_midi)
         done += bs
         batch_idx += 1
     print(f"wrote {done} samples to {output_dir}/")

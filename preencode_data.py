@@ -50,14 +50,37 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
     seed = int(ldcfg(config, "seed", 0)) + (0 if split == "train" else 1)
 
     is_midi = any(s in data_path.lower() for s in ("pop909", "midi"))
+    is_audio = getattr(codec, "is_audio", False)
+    if is_audio and inpainting:
+        raise SystemExit("inpainting triplets are an image-pipeline feature; "
+                         "codec.choice=dac pre-encodes waveforms")
     # device_augs: the host decodes each image ONCE (single resize); the
     # chip manufactures all augs_per frozen augmentations as one batched
     # affine-gather executable (flocoder_tpu/data/device_augs.py) — removes
     # the PIL host bottleneck SURVEY §3.2/§7 flags on the pre-encode pass.
     device_augs = (bool(config.preencoding.get("device_augs", False))
-                   and not is_midi)
+                   and not is_midi and not is_audio)
     augment = None
-    if device_augs:
+    if is_audio:
+        # audio path (codec.choice=dac): random crops ARE the frozen
+        # augmentation; latent sequences fold to square latent images so
+        # train_flow consumes them unchanged (models/audio_codec.py)
+        from flocoder_tpu.data.audio_io import (AudioFolderDataset,
+                                                SyntheticAudioDataset)
+        crop_len = int(config.codec.get("crop_len", 32768))
+        sample_rate = int(config.codec.get("sample_rate", 16000))
+        if os.path.isdir(data_path):
+            root = (os.path.join(data_path, split)
+                    if os.path.isdir(os.path.join(data_path, split))
+                    else data_path)
+            dataset = AudioFolderDataset(root, crop_len=crop_len,
+                                         sample_rate=sample_rate)
+        else:
+            print(f"WARNING: {data_path} not found; using synthetic audio")
+            dataset = SyntheticAudioDataset(
+                crop_len=crop_len, sample_rate=sample_rate,
+                n_classes=int(ldcfg(config, "n_classes", 4)))
+    elif device_augs:
         from flocoder_tpu.data.device_augs import (default_src_size,
                                                    load_resized,
                                                    make_device_augment)
@@ -76,14 +99,16 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
     else:
         tf = (midi_transforms(image_size) if is_midi
               else image_transforms(image_size))
-    named = dataset_by_name(data_path, split, tf)
-    if named is not None:
-        dataset = named  # torchvision dispatch (reference: :45-53)
-    elif os.path.isdir(data_path):
-        dataset = ImageFolderDataset(data_path, transform=tf)
-    else:
-        print(f"WARNING: {data_path} not found; using synthetic dataset")
-        dataset = SyntheticImageDataset(image_size=image_size, transform=tf)
+    if not is_audio:
+        named = dataset_by_name(data_path, split, tf)
+        if named is not None:
+            dataset = named  # torchvision dispatch (reference: :45-53)
+        elif os.path.isdir(data_path):
+            dataset = ImageFolderDataset(data_path, transform=tf)
+        else:
+            print(f"WARNING: {data_path} not found; using synthetic dataset")
+            dataset = SyntheticImageDataset(image_size=image_size,
+                                            transform=tf)
 
     out_dir = f"{data_path}_encoded_{config.codec.choice}"
     if inpainting:
@@ -116,7 +141,12 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
                     shuffle=True, num_workers=num_workers, seed=seed,
                     key="pixels")
 
-    encode = jax.jit(lambda x: codec.encode(codec_params, x))
+    if is_audio:
+        from flocoder_tpu.models.audio_codec import fold_latents
+        encode = jax.jit(lambda x: fold_latents(
+            codec.encode(codec_params, x)))
+    else:
+        encode = jax.jit(lambda x: codec.encode(codec_params, x))
     quant = (jax.jit(lambda z: codec.quantize(codec_params, z)[0])
              if quantize and hasattr(codec, "quantize") else None)
     if (quantize and hasattr(codec, "encode_quantize_fused")
@@ -143,8 +173,10 @@ def process_dataset(config, split: str, codec, codec_params, mesh):
     shard = None
     if fmt == "shard":
         from flocoder_tpu.data.shard import ShardWriter
-        probe = jnp.zeros((1, image_size, image_size,
-                           getattr(codec, "in_channels", 3)))
+        probe = (jnp.zeros((1, int(config.codec.get("crop_len", 32768)), 1))
+                 if is_audio else
+                 jnp.zeros((1, image_size, image_size,
+                            getattr(codec, "in_channels", 3))))
         lat_shape = tuple(np.asarray(encode(probe)).shape[1:])
         extras = ({"source_latents": lat_shape,
                    "mask_pixels": (image_size, image_size, 1)}
@@ -270,9 +302,18 @@ def main():
     codec = setup_codec(config)
     image_size = int(ldcfg(config, "image_size", 128))
     rng = jax.random.PRNGKey(0)
-    codec_params = codec.init(rng, jnp.zeros((1, image_size, image_size,
-                                              codec.in_channels)))
+    if getattr(codec, "is_audio", False):
+        crop_len = int(config.codec.get("crop_len", 32768))
+        codec_params = codec.init(rng, jnp.zeros((1, crop_len, 1)))
+    else:
+        codec_params = codec.init(rng, jnp.zeros((1, image_size, image_size,
+                                                  codec.in_channels)))
     ckpt = config.codec.get("checkpoint") if "codec" in config else None
+    if getattr(codec, "is_audio", False) and not (
+            ckpt and os.path.exists(str(ckpt))):
+        # audio default: the newest train_audio_codec.py checkpoint
+        from flocoder_tpu.training.checkpoint import latest_checkpoint
+        ckpt = latest_checkpoint("checkpoints", "dac_")
     if ckpt and os.path.exists(str(ckpt)):
         ck = load_checkpoint(str(ckpt))
         codec_params = load_into_tree(codec_params,

@@ -122,6 +122,82 @@ def test_train_flow_script_batch_size_schedule(tmp_path, capsys):
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
 
 
+def test_audio_pipeline_loop(tmp_path, monkeypatch):
+    """The complete audio example (reference README.md:144 TODO): train the
+    DAC codec on synthetic chords → pre-encode to folded latent images →
+    train a flow on them → generate WAVs — all four production scripts, on
+    the multi-device mesh."""
+    monkeypatch.chdir(tmp_path)
+    base = {
+        "data": str(tmp_path / "none"), "no_wandb": True, "seed": 0,
+        "n_classes": 4, "synthetic_n": 32,
+        "codec": {"choice": "dac", "sample_rate": 8000, "crop_len": 2048,
+                  "strides": [2, 4, 4], "base_channels": 8,
+                  "vq_embedding_dim": 4, "codebook_levels": 2,
+                  "vq_num_embeddings": 32, "batch_size": 8, "epochs": 1,
+                  "learning_rate": 1e-3, "ckpt_every": 1,
+                  "fft_sizes": [64, 128], "n_mels": [8, 16]},
+        "preencoding": {"batch_size": 8, "augs_per": 2, "num_workers": 2,
+                        "max_storage_gb": 1},
+        "flow": {"batch_size": 16, "learning_rate": 1e-3, "epochs": 1,
+                 "dim_mults": [1, 2], "n_steps": 2, "cfg_strength": 1.5,
+                 "ckpt_every": 1, "num_workers": 1, "donate": False,
+                 "eval_method": "euler", "unet": {"n_classes": 4}},
+    }
+    cfg = config_from_dict(base)
+
+    # 1. codec training (shard_map path on the mesh)
+    tac = _load_script("train_audio_codec")
+    cstate = tac.train_audio_codec(cfg)
+    assert int(cstate.step) > 0
+    assert os.path.exists(os.path.join("checkpoints", "dac_1.npz"))
+    assert any(f.endswith("_recon.wav")
+               for f in os.listdir(f"output_dac_none"))
+
+    # 2. pre-encode: folded square latent images in class dirs
+    pe = _load_script("preencode_data")
+    import jax.numpy as jnp
+    from flocoder_tpu.models.codecs import setup_codec
+    from flocoder_tpu.parallel.mesh import make_mesh
+    from flocoder_tpu.training.checkpoint import (load_checkpoint,
+                                                  load_into_tree,
+                                                  flatten_tree)
+    mesh = make_mesh()
+    codec = setup_codec(cfg)
+    cp = codec.init(jax.random.PRNGKey(0), jnp.zeros((1, 2048, 1)))
+    ck = load_checkpoint(os.path.join("checkpoints", "dac_1.npz"))
+    cp = load_into_tree(cp, flatten_tree(ck["model_state_dict"]),
+                        strict=False)
+    for split in ("val", "train"):
+        pe.process_dataset(cfg, split, codec, cp, mesh)
+    enc = str(tmp_path / "none_encoded_dac")
+    lat = np.load(next(
+        os.path.join(r, f) for r, _, fs in os.walk(f"{enc}/train")
+        for f in fs if f.endswith(".npy")))
+    assert lat.shape == (8, 8, 4)  # folded square latent image
+
+    # 3. flow training on the audio latents (audio eval branch: WAV dumps
+    # + mel-Sinkhorn instead of FID)
+    tf = _load_script("train_flow")
+    fstate = tf.train_flow(cfg)
+    assert int(fstate.step) > 0
+    out_dir = f"output_none_encoded_dac-8x8"
+    assert any(f.endswith("_gen.wav") for f in os.listdir(out_dir))
+
+    # 4. serving: latents → unfold → decode → WAV files
+    gs = _load_script("generate_samples")
+    gcfg = config_from_dict({"no_wandb": True, "n_samples": 4,
+                             "n_steps": 2, "method": "euler",
+                             "batch_size": 4, "output_dir": "samples"})
+    gs._MODEL_CACHE.clear()
+    gs.generate_samples(gcfg)
+    import wave
+    wavs = sorted(f for f in os.listdir("samples") if f.endswith(".wav"))
+    assert len(wavs) == 4
+    with wave.open(os.path.join("samples", wavs[0])) as w:
+        assert w.getnframes() == 2048 and w.getframerate() == 8000
+
+
 def test_train_vqgan_script_on_mesh(tmp_path, monkeypatch):
     script = _load_script("train_vqgan")
 

@@ -106,12 +106,22 @@ def train_flow(config):
 
     # ---- codec (frozen: eval decode, and on-the-fly encode) ----------------
     codec = setup_codec(config)
+    is_audio = getattr(codec, "is_audio", False)
+    if is_audio and not pre_encoded:
+        raise SystemExit("codec.choice=dac trains flows on PRE-ENCODED "
+                         "latents (run preencode_data.py first)")
     rng = jax.random.PRNGKey(seed)
     rng, k_codec = jax.random.split(rng)
-    codec_params = codec.init(k_codec, jnp.zeros(
-        (1, image_size, image_size, codec.in_channels)))
+    if is_audio:
+        crop_len = int(config.codec.get("crop_len", 32768))
+        codec_params = codec.init(k_codec, jnp.zeros((1, crop_len, 1)))
+    else:
+        codec_params = codec.init(k_codec, jnp.zeros(
+            (1, image_size, image_size, codec.in_channels)))
     codec_ckpt = ldcfg(config, "codec_checkpoint", None) or (
         config.codec.get("checkpoint") if "codec" in config else None)
+    if is_audio and not (codec_ckpt and os.path.exists(str(codec_ckpt))):
+        codec_ckpt = latest_checkpoint("checkpoints", "dac_")
     if codec_ckpt and os.path.exists(str(codec_ckpt)):
         ck = load_checkpoint(str(codec_ckpt))
         codec_params = load_into_tree(codec_params, _flat(ck), strict=False)
@@ -459,14 +469,22 @@ def train_flow(config):
             # params= routes through the cached fused generate+decode
             # executable (evaluation._get_fused_sampler) — model_apply is
             # the stable callable built above, so raw and EMA evals share
-            # one compile
-            metrics = evaluate_model(
+            # one compile. Audio (DAC) flows eval through the waveform twin
+            # (latent metrics + mel Sinkhorn + WAV dumps).
+            eval_fn = evaluate_model
+            if is_audio:
+                from flocoder_tpu.evaluation import evaluate_model_audio
+                eval_fn = evaluate_model_audio
+            metrics = eval_fn(
                 model_apply, params=state.params["model"],
                 rng=k2, tag="", **eval_kwargs)
-            print(f"  metrics: FID_px {metrics['FID_px']:.2f}  "
+            print("  metrics: " +
+                  (f"sinkhorn_mel {metrics['sinkhorn_mel']:.4f}  "
+                   if is_audio else
+                   f"FID_px {metrics['FID_px']:.2f}  ") +
                   f"sinkhorn {metrics['sinkhorn']:.4f}")
             if epoch > 5 and epoch % 2 == 0:  # EMA eval (train_flow.py:431)
-                evaluate_model(
+                eval_fn(
                     model_apply, params=state.ema["model"],
                     rng=k3, tag="ema_", **eval_kwargs)
             if epoch % 2 == 0:
