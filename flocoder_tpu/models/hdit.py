@@ -60,7 +60,8 @@ from ..ops.neighborhood_attention import na2d
 from .unet import sinusoidal_embedding
 
 __all__ = ["HDiT", "LevelSpec", "MappingSpec", "GlobalAttentionSpec",
-           "NeighborhoodAttentionSpec", "hdit_from_config"]
+           "NeighborhoodAttentionSpec", "MoEFeedForwardBlock",
+           "hdit_from_config"]
 
 
 # ---------------------------------------------------------------------------
@@ -87,6 +88,9 @@ class LevelSpec:
     self_attn: Any = GlobalAttentionSpec()
     dropout: float = 0.0  # accepted for signature parity; HDiT recipes here
     #                       run dropout-free (the reference branch passes 0.0)
+    moe_experts: int = 0          # >0 → MoE GEGLU FFN with this many experts
+    moe_top_k: int = 2
+    moe_capacity: float = 1.25
 
 
 @dataclasses.dataclass(frozen=True)
@@ -252,6 +256,62 @@ class FeedForwardBlock(nn.Module):
         return skip + x
 
 
+class MoEFeedForwardBlock(nn.Module):
+    """Pre-AdaRMSNorm residual MIXTURE-OF-EXPERTS GEGLU MLP — the sparse
+    twin of ``FeedForwardBlock`` (new capability; the reference is dense,
+    SURVEY §2d). Routing/dispatch/expert compute live in
+    ``parallel/moe.py``: static-shape one-hot dispatch matmuls, top-k gates,
+    capacity truncation, Switch load-balance + router-z auxiliary loss
+    (sown into the 'moe_losses' collection — train_flow.py folds it into
+    the training loss; plain ``apply`` drops it, so serving is unchanged).
+
+    Expert parallelism: with ``ep_axis``/``ep_axis_size`` set (inside the
+    production shard_map step), each shard computes only its
+    E/ep_axis_size experts and one ``psum`` over ICI combines tokens —
+    see ``moe_geglu_replicated``. Zero-init down projections keep every
+    expert's residual contribution zero at init, like the dense block."""
+    d_ff: int
+    n_experts: int
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    dtype: Any = jnp.float32
+    ep_axis: Any = None
+    ep_axis_size: int = 1
+
+    @nn.compact
+    def __call__(self, x, cond):
+        from ..parallel.moe import (load_balance_loss, moe_capacity,
+                                    moe_geglu_apply, moe_geglu_replicated,
+                                    moe_routing)
+        skip = x
+        B, H, W, d = x.shape
+        x = AdaRMSNorm(dtype=self.dtype)(x, cond)
+        flat = x.reshape(B * H * W, d)
+        # router in fp32 — routing decisions are precision-sensitive
+        logits = nn.Dense(self.n_experts, use_bias=False, dtype=jnp.float32,
+                          name="router")(flat.astype(jnp.float32))
+        cap = moe_capacity(flat.shape[0], self.n_experts, self.top_k,
+                           self.capacity_factor)
+        dispatch, combine, stats = moe_routing(logits, self.top_k, cap)
+        self.sow("moe_losses", "aux",
+                 load_balance_loss(stats, self.n_experts))
+
+        w_up = self.param(
+            "up_kernel",
+            nn.initializers.lecun_normal(in_axis=-2, out_axis=-1,
+                                         batch_axis=(0,)),
+            (self.n_experts, d, self.d_ff * 2))
+        w_down = self.param("down_kernel", nn.initializers.zeros,
+                            (self.n_experts, self.d_ff, d))
+        if self.ep_axis is not None and self.ep_axis_size > 1:
+            out = moe_geglu_replicated(flat, dispatch, combine, w_up,
+                                       w_down, self.ep_axis,
+                                       self.ep_axis_size)
+        else:
+            out = moe_geglu_apply(flat, dispatch, combine, w_up, w_down)
+        return skip + out.reshape(B, H, W, d).astype(skip.dtype)
+
+
 class TokenMerge(nn.Module):
     """Space-to-depth patch merge: (B,H,W,C) → (B,H/p,W/p,out_width)."""
     out_width: int
@@ -335,6 +395,8 @@ class HDiT(nn.Module):
     dtype: Any = jnp.float32
     ring_axis: Any = None
     ring_axis_size: int = 1
+    ep_axis: Any = None          # expert-parallel mesh axis for MoE levels
+    ep_axis_size: int = 1
 
     @nn.compact
     def __call__(self, x, time, cond: Optional[dict] = None,
@@ -383,8 +445,15 @@ class HDiT(nn.Module):
                 x = SelfAttentionBlock(spec.self_attn, dtype,
                                        self.ring_axis, self.ring_axis_size,
                                        name=f"{tag}_attn_{j}")(x, cond_vec)
-                x = FeedForwardBlock(spec.d_ff, dtype,
-                                     name=f"{tag}_ff_{j}")(x, cond_vec)
+                if spec.moe_experts:
+                    x = MoEFeedForwardBlock(
+                        spec.d_ff, spec.moe_experts, spec.moe_top_k,
+                        spec.moe_capacity, dtype, self.ep_axis,
+                        self.ep_axis_size,
+                        name=f"{tag}_ff_{j}")(x, cond_vec)
+                else:
+                    x = FeedForwardBlock(spec.d_ff, dtype,
+                                         name=f"{tag}_ff_{j}")(x, cond_vec)
             return x
 
         skips = []
@@ -414,12 +483,17 @@ class HDiT(nn.Module):
 
 def hdit_from_config(config, channels: int, n_classes: int, dtype,
                      dual_time: bool = False, ring_axis=None,
-                     ring_axis_size: int = 1) -> HDiT:
+                     ring_axis_size: int = 1, ep_axis=None,
+                     ep_axis_size: int = 1) -> HDiT:
     """Build an HDiT from flat flow-section config keys (``ldcfg``
     precedence). Defaults are the reference branch's exact printed spec
     (train_flow.py:294-299: two levels (2,256,768)/(4,512,1536), global
     d_head=64 attention, patch 4); ``hdit_attns`` entries may be 'global'
-    or 'na[:k]' to put Pallas neighborhood attention at outer levels."""
+    or 'na[:k]' to put Pallas neighborhood attention at outer levels.
+    ``hdit_moe_experts`` (per-level list, 0 = dense) turns a level's FFNs
+    into MoE blocks (``hdit_moe_top_k``/``hdit_moe_capacity`` tune the
+    router); expert parallelism rides ``flow.n_model`` + ``flow.moe_ep``
+    (train_flow.py passes ep_axis='model')."""
     from ..config import ldcfg
 
     depths = [int(d) for d in ldcfg(config, "hdit_depths", [2, 4])]
@@ -429,18 +503,25 @@ def hdit_from_config(config, channels: int, n_classes: int, dtype,
     d_head = int(ldcfg(config, "hdit_d_head", 64))
     attns = [str(a) for a in
              ldcfg(config, "hdit_attns", ["global"] * len(depths))]
-    if not (len(depths) == len(widths) == len(d_ffs) == len(attns)):
-        raise SystemExit("hdit_depths/hdit_widths/hdit_d_ffs/hdit_attns "
-                         "must have equal lengths")
+    moes = [int(m) for m in
+            ldcfg(config, "hdit_moe_experts", [0] * len(depths))]
+    moe_top_k = int(ldcfg(config, "hdit_moe_top_k", 2))
+    moe_cap = float(ldcfg(config, "hdit_moe_capacity", 1.25))
+    if not (len(depths) == len(widths) == len(d_ffs) == len(attns)
+            == len(moes)):
+        raise SystemExit("hdit_depths/hdit_widths/hdit_d_ffs/hdit_attns/"
+                         "hdit_moe_experts must have equal lengths")
     levels = []
-    for depth, width, d_ff, attn in zip(depths, widths, d_ffs, attns):
+    for depth, width, d_ff, attn, moe in zip(depths, widths, d_ffs, attns,
+                                             moes):
         if attn.startswith("na"):
             k = int(attn.split(":", 1)[1]) if ":" in attn else 7
             spec = NeighborhoodAttentionSpec(d_head=d_head, kernel_size=k)
         else:
             spec = GlobalAttentionSpec(d_head=d_head)
         levels.append(LevelSpec(depth=depth, width=width, d_ff=d_ff,
-                                self_attn=spec))
+                                self_attn=spec, moe_experts=moe,
+                                moe_top_k=moe_top_k, moe_capacity=moe_cap))
     mapping = MappingSpec(
         depth=int(ldcfg(config, "hdit_mapping_depth", 2)),
         width=int(ldcfg(config, "hdit_mapping_width", 256)),
@@ -448,4 +529,5 @@ def hdit_from_config(config, channels: int, n_classes: int, dtype,
     return HDiT(levels=tuple(levels), mapping=mapping, channels=channels,
                 patch_size=int(ldcfg(config, "hdit_patch_size", 4)),
                 n_classes=n_classes, dual_time=dual_time, dtype=dtype,
-                ring_axis=ring_axis, ring_axis_size=ring_axis_size)
+                ring_axis=ring_axis, ring_axis_size=ring_axis_size,
+                ep_axis=ep_axis, ep_axis_size=ep_axis_size)

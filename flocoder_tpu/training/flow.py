@@ -366,19 +366,31 @@ def make_flow_train_step(model_apply: Callable, tx,
             x = _interp(source, target, t)
             v_star = target - source
             cond = {"class_cond": class_cond, "mask_cond": mask}
+            model_aux = None
             if curvature_weight:
                 # total path derivative dv/dt = ∂v/∂t + (∂v/∂x)·ẋ with
                 # ẋ = v_star along the interpolation; one jvp returns v too
                 # (t_scale rides inside, so the tangent is in natural t)
-                v, dv_dt = jax.jvp(
+                prim, tang = jax.jvp(
                     lambda xx, tt: model_apply(params["model"], xx,
                                                tt * t_scale, cond),
                     (x, t), (v_star, jnp.ones_like(t)))
+                if isinstance(prim, tuple):   # (v, model_aux_loss) contract
+                    (v, model_aux), dv_dt = prim, tang[0]
+                else:
+                    v, dv_dt = prim, tang
             else:
                 v = model_apply(params["model"], x, t * t_scale, cond)
+                if isinstance(v, tuple):      # (v, model_aux_loss) contract
+                    v, model_aux = v
             loss = jnp.mean((v - v_star) ** 2)
 
             aux = {"loss_flow": loss}
+            if model_aux is not None:
+                # model-internal auxiliary loss (e.g. the MoE load-balance
+                # + router-z term, models/hdit.py:MoEFeedForwardBlock)
+                loss = loss + model_aux
+                aux["loss_model_aux"] = model_aux
             if curvature_weight:
                 curv = jnp.mean(dv_dt ** 2)
                 loss = loss + curvature_weight * curv

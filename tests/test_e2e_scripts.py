@@ -591,3 +591,71 @@ def test_hdit_script_loop(tmp_path, monkeypatch):
     })
     with pytest.raises(SystemExit):
         flow.train_flow(bad)
+
+
+def test_hdit_moe_script_loop(tmp_path, monkeypatch):
+    """HDiT-MoE through the production scripts: flow.hdit_moe_experts turns
+    the inner level's FFNs into MoE blocks (models/hdit.py:
+    MoEFeedForwardBlock), flow.moe_ep + flow.n_model=2 trains them
+    EXPERT-PARALLEL over the mesh 'model' axis inside the shard_map step
+    (parallel/moe.py), the aux load-balance loss folds into the training
+    objective, and generate_samples serves from the checkpoint with plain
+    apply (sown losses dropped). Guard: MoE refuses flow.meanflow."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 virtual devices for the data*model mesh")
+    flow = _load_script("train_flow")
+    gen = _load_script("generate_samples")
+    monkeypatch.chdir(tmp_path)
+
+    data = str(tmp_path / "toy")
+    _write_toy_latents(f"{data}_encoded_resize")
+    moe_keys = {"arch": "hdit", "hdit_depths": [1, 1],
+                "hdit_widths": [16, 32], "hdit_attns": ["global", "global"],
+                "hdit_d_head": 8, "hdit_patch_size": 2,
+                "hdit_mapping_depth": 1, "hdit_mapping_width": 32,
+                "hdit_mapping_d_ff": 64,
+                "hdit_moe_experts": [0, 2], "hdit_moe_top_k": 2,
+                "n_model": 2, "moe_ep": True}
+    cfg = config_from_dict({
+        "data": data, "image_size": 8, "no_wandb": True, "seed": 0,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "flow": {"batch_size": 16, "learning_rate": 1e-3, "epochs": 1,
+                 "ckpt_every": 1, "n_steps": 2, "num_workers": 1,
+                 "donate": False, "unet": {"n_classes": 4}, **moe_keys},
+    })
+    state = flow.train_flow(cfg)
+    assert int(state.step) > 0
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    # MoE params exist in the trained state (router + expert banks)
+    names = [p for p, _ in jax.tree_util.tree_leaves_with_path(state.params)]
+    assert any("router" in str(p) for p in names)
+    assert any("up_kernel" in str(p) for p in names)
+
+    import glob as _glob
+    ckpts = _glob.glob(os.path.join("checkpoints", "flowema_*.npz"))
+    assert ckpts, "hdit-moe training saved no checkpoint"
+
+    gen_cfg = config_from_dict({
+        "n_samples": 4, "batch_size": 4, "n_steps": 2, "method": "euler",
+        "seed": 0, "output_dir": str(tmp_path / "out_moe"),
+    })
+    gen._MODEL_CACHE.clear()
+    gen.generate_samples(gen_cfg)
+    assert len(list((tmp_path / "out_moe").glob("sample_*.png"))) == 4
+    b = gen.load_models_once(gen_cfg, ckpts[0])
+    assert type(b["model"]).__name__ == "HDiT"
+    assert b["model"].levels[1].moe_experts == 2
+    assert b["model"].ep_axis is None   # serving twin is ep-free
+
+    # guard: MoE has no MeanFlow path (the identity jvp drops the aux loss)
+    bad = config_from_dict({
+        "data": data, "no_wandb": True, "image_size": 8,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "flow": {"batch_size": 8, "epochs": 1, "num_workers": 1,
+                 "donate": False, "meanflow": True, **moe_keys},
+    })
+    with pytest.raises(SystemExit):
+        flow.train_flow(bad)

@@ -210,10 +210,27 @@ def train_flow(config):
         from flocoder_tpu.models.hdit import hdit_from_config
         model = hdit_from_config(config, channels=C, n_classes=n_classes,
                                  dtype=dtype, dual_time=meanflow)
-        train_model = (model.clone(ring_axis="model",
-                                   ring_axis_size=n_model)
-                       if use_ring else model)
+        # MoE levels (flow.hdit_moe_experts) sow a load-balance aux loss the
+        # train step must fold in; expert parallelism (flow.moe_ep) splits
+        # each MoE level's experts over the 'model' axis inside the
+        # shard_map step (parallel/moe.py:moe_geglu_replicated)
+        moe_on = any(lv.moe_experts for lv in model.levels)
+        if moe_on and meanflow:
+            raise SystemExit("flow.hdit_moe_experts does not combine with "
+                             "flow.meanflow (the MeanFlow identity jvp has "
+                             "no aux-loss channel)")
+        use_ep = (moe_on and bool(ldcfg(config, "moe_ep", False))
+                  and n_model > 1)
+        clone_kw = {}
+        if use_ring:
+            clone_kw.update(ring_axis="model", ring_axis_size=n_model)
+        if use_ep:
+            clone_kw.update(ep_axis="model", ep_axis_size=n_model)
+            print(f"MoE expert parallelism over 'model' axis "
+                  f"(size {n_model})")
+        train_model = model.clone(**clone_kw) if clone_kw else model
     else:
+        moe_on = False
         model_kwargs = dict(dim=H, channels=C, dim_mults=dim_mults,
                             n_classes=n_classes, mask_cond=inpainting,
                             mask_channels=C, dtype=dtype,
@@ -226,8 +243,10 @@ def train_flow(config):
     rng, k_model = jax.random.split(rng)
     cond0 = {"class_cond": jnp.zeros((2,), jnp.int32),
              "mask_cond": (jnp.zeros((2, H, W, C)) if inpainting else None)}
-    params = {"model": model.init(k_model, jnp.zeros((2, H, W, C)),
-                                  jnp.zeros((2,)), cond0)}
+    v0 = model.init(k_model, jnp.zeros((2, H, W, C)), jnp.zeros((2,)), cond0)
+    # keep only the 'params' collection: init also materializes sown
+    # aux-loss collections (MoE), which must not enter state/optimizer
+    params = {"model": {"params": v0["params"]}}
     mask_encoder = None
     mask_encoder_apply = None
     if inpainting:
@@ -277,8 +296,23 @@ def train_flow(config):
         print(f"resumed from {resume} at epoch {ck['epoch']}")
 
     model_apply = lambda p, x, t, c: model.apply(p, x, t, c)
-    train_model_apply = (model_apply if train_model is model else
-                         (lambda p, x, t, c: train_model.apply(p, x, t, c)))
+    if moe_on:
+        # MoE training contract: apply with the 'moe_losses' collection
+        # mutable and return (v, aux_loss) — the step adds aux_loss to the
+        # objective (training/flow.py 'model_aux'). Serving/eval use plain
+        # apply, where the sown losses are silently dropped.
+        moe_aux_w = float(ldcfg(config, "hdit_moe_aux_weight", 1e-2))
+
+        def train_model_apply(p, x, t, c):
+            v, mut = train_model.apply(p, x, t, c,
+                                       mutable=["moe_losses"])
+            leaves = jax.tree_util.tree_leaves(mut)
+            aux = moe_aux_w * (sum(leaves) / len(leaves))
+            return v, aux
+    else:
+        train_model_apply = (
+            model_apply if train_model is model else
+            (lambda p, x, t, c: train_model.apply(p, x, t, c)))
     # steps_per_dispatch > 1: scan K optimizer steps inside ONE jitted call
     # (amortizes host dispatch overhead — docs/BENCH_NOTES.md tpu_demo notes)
     steps_per_call = max(int(ldcfg(config, "steps_per_dispatch", 1)), 1)
