@@ -312,6 +312,22 @@ class MoEFeedForwardBlock(nn.Module):
         return skip + out.reshape(B, H, W, d).astype(skip.dtype)
 
 
+class _MidBlockPair(nn.Module):
+    """One (attention, feed-forward) block pair with the ``nn.scan`` carry
+    signature — the unit the stacked/pipelined mid level is built from
+    (``HDiT.pp_stages``, parallel/pipeline.py). Params of a depth-L mid
+    level live stacked on a leading (L, ...) axis under 'mid_blocks'."""
+    spec: LevelSpec
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond):
+        x = SelfAttentionBlock(self.spec.self_attn, self.dtype,
+                               name="attn")(x, cond)
+        x = FeedForwardBlock(self.spec.d_ff, self.dtype, name="ff")(x, cond)
+        return x, None
+
+
 class TokenMerge(nn.Module):
     """Space-to-depth patch merge: (B,H,W,C) → (B,H/p,W/p,out_width)."""
     out_width: int
@@ -397,6 +413,10 @@ class HDiT(nn.Module):
     ring_axis_size: int = 1
     ep_axis: Any = None          # expert-parallel mesh axis for MoE levels
     ep_axis_size: int = 1
+    pp_stages: int = 0           # >0 → stacked mid level (pipeline-ready)
+    pp_axis: Any = None          # pipeline mesh axis (inside shard_map)
+    pp_axis_size: int = 1
+    pp_microbatches: int = 0     # 0 → largest divisor of B that is ≤ 2·S
 
     @nn.compact
     def __call__(self, x, time, cond: Optional[dict] = None,
@@ -463,7 +483,50 @@ class HDiT(nn.Module):
             x = TokenMerge(self.levels[i + 1].width, 2, dtype,
                            name=f"merge_{i}")(x)
 
-        x = run_level(x, self.levels[-1], "mid")
+        if self.pp_stages:
+            # stacked mid level (pipeline parallelism, parallel/pipeline.py):
+            # the depth-L block-pair stack lives as ONE nn.scan module with
+            # params stacked on a leading (L, ...) axis. Off-mesh (serving,
+            # init, eval) it runs as a sequential lax.scan; inside the
+            # production shard_map step with pp_axis set, the stack runs as
+            # an S-stage GPipe pipeline over the mesh 'model' axis.
+            spec = self.levels[-1]
+            if spec.moe_experts:
+                raise ValueError("pp_stages does not combine with a MoE "
+                                 "mid level (hdit_moe_experts[-1] must be 0)")
+            if spec.depth % self.pp_stages:
+                raise ValueError(
+                    f"mid-level depth {spec.depth} not divisible by "
+                    f"pp_stages={self.pp_stages}")
+            scan_cls = nn.scan(_MidBlockPair, variable_axes={"params": 0},
+                               split_rngs={"params": True},
+                               length=spec.depth, in_axes=nn.broadcast)
+            scan_mod = scan_cls(spec, dtype, name="mid_blocks")
+            pipelined = (self.pp_axis is not None and self.pp_axis_size > 1
+                         and not self.is_initializing())
+            if not pipelined:
+                x, _ = scan_mod(x, cond_vec)
+            else:
+                if self.pp_axis_size != self.pp_stages:
+                    raise ValueError(
+                        f"pp mesh axis size {self.pp_axis_size} != "
+                        f"pp_stages={self.pp_stages}")
+                from ..parallel.pipeline import pipeline_apply
+                stacked = self.scope.get_variable("params", "mid_blocks")
+                blk = _MidBlockPair(spec, dtype)
+
+                def block_fn(p, h, a):
+                    out, _ = blk.apply({"params": p}, h, a)
+                    return out
+
+                B = x.shape[0]
+                S = self.pp_axis_size
+                M = self.pp_microbatches or max(
+                    m for m in range(1, min(2 * S, B) + 1) if B % m == 0)
+                x = pipeline_apply(block_fn, self.pp_axis, S, M,
+                                   stacked, x, cond_vec)
+        else:
+            x = run_level(x, self.levels[-1], "mid")
 
         for i, spec in reversed(list(enumerate(self.levels[:-1]))):
             x = TokenSplit(spec.width, 2, dtype, name=f"split_{i}")(
@@ -484,7 +547,8 @@ class HDiT(nn.Module):
 def hdit_from_config(config, channels: int, n_classes: int, dtype,
                      dual_time: bool = False, ring_axis=None,
                      ring_axis_size: int = 1, ep_axis=None,
-                     ep_axis_size: int = 1) -> HDiT:
+                     ep_axis_size: int = 1, pp_axis=None,
+                     pp_axis_size: int = 1) -> HDiT:
     """Build an HDiT from flat flow-section config keys (``ldcfg``
     precedence). Defaults are the reference branch's exact printed spec
     (train_flow.py:294-299: two levels (2,256,768)/(4,512,1536), global
@@ -493,7 +557,11 @@ def hdit_from_config(config, channels: int, n_classes: int, dtype,
     ``hdit_moe_experts`` (per-level list, 0 = dense) turns a level's FFNs
     into MoE blocks (``hdit_moe_top_k``/``hdit_moe_capacity`` tune the
     router); expert parallelism rides ``flow.n_model`` + ``flow.moe_ep``
-    (train_flow.py passes ep_axis='model')."""
+    (train_flow.py passes ep_axis='model'). ``hdit_pp_stages`` (>0) stacks
+    the mid level's block pairs (nn.scan layout) so training can run them
+    as a GPipe pipeline over the mesh 'model' axis (``flow.pp``,
+    parallel/pipeline.py); off-mesh the stack replays sequentially, so
+    serving from a pp checkpoint needs no mesh."""
     from ..config import ldcfg
 
     depths = [int(d) for d in ldcfg(config, "hdit_depths", [2, 4])]
@@ -526,8 +594,21 @@ def hdit_from_config(config, channels: int, n_classes: int, dtype,
         depth=int(ldcfg(config, "hdit_mapping_depth", 2)),
         width=int(ldcfg(config, "hdit_mapping_width", 256)),
         d_ff=int(ldcfg(config, "hdit_mapping_d_ff", 768)))
+    pp_stages = int(ldcfg(config, "hdit_pp_stages", 0))
+    if pp_stages:
+        if levels[-1].moe_experts:
+            raise SystemExit("hdit_pp_stages does not combine with a MoE "
+                             "mid level (set hdit_moe_experts[-1]=0)")
+        if levels[-1].depth % pp_stages:
+            raise SystemExit(
+                f"hdit_pp_stages={pp_stages} must divide the mid-level "
+                f"depth ({levels[-1].depth})")
     return HDiT(levels=tuple(levels), mapping=mapping, channels=channels,
                 patch_size=int(ldcfg(config, "hdit_patch_size", 4)),
                 n_classes=n_classes, dual_time=dual_time, dtype=dtype,
                 ring_axis=ring_axis, ring_axis_size=ring_axis_size,
-                ep_axis=ep_axis, ep_axis_size=ep_axis_size)
+                ep_axis=ep_axis, ep_axis_size=ep_axis_size,
+                pp_stages=pp_stages,
+                pp_axis=pp_axis, pp_axis_size=pp_axis_size,
+                pp_microbatches=int(ldcfg(config, "hdit_pp_microbatches",
+                                          0)))

@@ -659,3 +659,81 @@ def test_hdit_moe_script_loop(tmp_path, monkeypatch):
     })
     with pytest.raises(SystemExit):
         flow.train_flow(bad)
+
+
+def test_hdit_pp_script_loop(tmp_path, monkeypatch):
+    """HDiT pipeline parallelism through the production scripts:
+    flow.hdit_pp_stages stacks the mid level (models/hdit.py 'mid_blocks'),
+    flow.pp + flow.n_model=2 trains it as a 2-stage GPipe pipeline over the
+    mesh 'model' axis (parallel/pipeline.py), and generate_samples serves
+    from the checkpoint with the sequential replay (no mesh). Guards: pp
+    refuses flow.curvature_weight (forward-mode jvp cannot ride the
+    custom_vjp) and a stage count that does not divide the mid depth."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 virtual devices for the data*model mesh")
+    flow = _load_script("train_flow")
+    gen = _load_script("generate_samples")
+    monkeypatch.chdir(tmp_path)
+
+    data = str(tmp_path / "toy")
+    _write_toy_latents(f"{data}_encoded_resize")
+    pp_keys = {"arch": "hdit", "hdit_depths": [1, 2],
+               "hdit_widths": [16, 32], "hdit_attns": ["global", "global"],
+               "hdit_d_head": 8, "hdit_patch_size": 2,
+               "hdit_mapping_depth": 1, "hdit_mapping_width": 32,
+               "hdit_mapping_d_ff": 64,
+               "hdit_pp_stages": 2, "n_model": 2, "pp": True}
+    cfg = config_from_dict({
+        "data": data, "image_size": 8, "no_wandb": True, "seed": 0,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "flow": {"batch_size": 16, "learning_rate": 1e-3, "epochs": 1,
+                 "ckpt_every": 1, "n_steps": 2, "num_workers": 1,
+                 "donate": False, "unet": {"n_classes": 4}, **pp_keys},
+    })
+    state = flow.train_flow(cfg)
+    assert int(state.step) > 0
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    # the stacked mid level exists (depth-2 leading axis under mid_blocks)
+    names = [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_leaves_with_path(state.params)]
+    assert any("mid_blocks" in n for n in names)
+
+    import glob as _glob
+    ckpts = _glob.glob(os.path.join("checkpoints", "flowema_*.npz"))
+    assert ckpts, "hdit-pp training saved no checkpoint"
+
+    gen_cfg = config_from_dict({
+        "n_samples": 4, "batch_size": 4, "n_steps": 2, "method": "euler",
+        "seed": 0, "output_dir": str(tmp_path / "out_pp"),
+    })
+    gen._MODEL_CACHE.clear()
+    gen.generate_samples(gen_cfg)
+    assert len(list((tmp_path / "out_pp").glob("sample_*.png"))) == 4
+    b = gen.load_models_once(gen_cfg, ckpts[0])
+    assert type(b["model"]).__name__ == "HDiT"
+    assert b["model"].pp_stages == 2
+    assert b["model"].pp_axis is None   # serving twin replays sequentially
+
+    # guard: pp has no curvature path (jvp over custom_vjp)
+    bad = config_from_dict({
+        "data": data, "no_wandb": True, "image_size": 8,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "flow": {"batch_size": 8, "epochs": 1, "num_workers": 1,
+                 "donate": False, "curvature_weight": 0.1, **pp_keys},
+    })
+    with pytest.raises(SystemExit):
+        flow.train_flow(bad)
+
+    # guard: stages must divide the mid depth
+    bad2 = config_from_dict({
+        "data": data, "no_wandb": True, "image_size": 8,
+        "codec": {"choice": "resize", "image_size": 8,
+                  "latent_shape": [2, 8, 8]},
+        "flow": {"batch_size": 8, "epochs": 1, "num_workers": 1,
+                 "donate": False, **{**pp_keys, "hdit_depths": [1, 3]}},
+    })
+    with pytest.raises(SystemExit):
+        flow.train_flow(bad2)

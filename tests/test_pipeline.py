@@ -1,0 +1,177 @@
+"""GPipe pipeline parallelism (parallel/pipeline.py) and the stacked /
+pipelined HDiT mid level (models/hdit.py pp_stages) — new TPU-native
+capability beyond the single-device reference (SURVEY §2d)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flocoder_tpu.parallel.pipeline import pipeline_apply, sequential_apply
+
+
+def _toy_block(p, x, aux):
+    # residual tanh block conditioned on a per-sample aux vector
+    return x + jnp.tanh(x @ p["w"] + aux @ p["u"])
+
+
+def _toy_setup(L=8, B=8, d=6):
+    rng = np.random.default_rng(0)
+    stacked = {
+        "w": jnp.asarray(rng.standard_normal((L, d, d)) * 0.3, jnp.float32),
+        "u": jnp.asarray(rng.standard_normal((L, d, d)) * 0.3, jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((B, d)), jnp.float32)
+    aux = jnp.asarray(rng.standard_normal((B, d)), jnp.float32)
+    return stacked, x, aux
+
+
+def test_sequential_apply_is_the_block_composition():
+    stacked, x, aux = _toy_setup(L=3)
+    y = sequential_apply(_toy_block, stacked, x, aux)
+    ref = x
+    for i in range(3):
+        ref = _toy_block({k: v[i] for k, v in stacked.items()}, ref, aux)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-6)
+
+
+@pytest.mark.parametrize("n_micro", [1, 2, 4, 8])
+def test_pipeline_matches_sequential_fwd_and_grads(n_micro):
+    """The S-stage pipeline inside shard_map must reproduce the sequential
+    stack exactly — forward AND cotangents (params, x, aux), which come out
+    full/replicated per the custom_vjp psum contract, so the production
+    step's pmean over 'model' is a typing no-op."""
+    from flocoder_tpu.parallel.mesh import (P, make_mesh, pmean_typed,
+                                            shard_map)
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=2, n_model=4)
+    stacked, x, aux = _toy_setup(L=8, B=8)
+
+    def body(stacked, x, aux):
+        def loss_fn(p, xx, au):
+            y = pipeline_apply(_toy_block, "model", 4, n_micro, p, xx, au)
+            return jnp.sum(y ** 2), y
+
+        (_, y), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(stacked, x, aux)
+        names = ("model", "data")
+        return pmean_typed(y, names), pmean_typed(grads, names)
+
+    f = shard_map(body, mesh=mesh, in_specs=(P(), P(), P()),
+                  out_specs=(P(), (P(), P(), P())), check_rep=False)
+    y_pp, g_pp = f(stacked, x, aux)
+
+    def ref_loss(p, xx, au):
+        return jnp.sum(sequential_apply(_toy_block, p, xx, au) ** 2)
+
+    y_ref = sequential_apply(_toy_block, stacked, x, aux)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(stacked, x, aux)
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-6)
+    for ge, gr in zip(jax.tree_util.tree_leaves(g_pp),
+                      jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(ge), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_validates_divisibility():
+    stacked, x, aux = _toy_setup(L=6, B=8)
+    with pytest.raises(ValueError, match="not divisible"):
+        # L=6 does not split into 4 stages; axis math is pre-collective so
+        # the error raises at trace time even outside shard_map
+        pipeline_apply(_toy_block, "model", 4, 2, stacked, x, aux)
+    stacked, x, aux = _toy_setup(L=8, B=6)
+    with pytest.raises(ValueError, match="n_micro"):
+        pipeline_apply(_toy_block, "model", 4, 4, stacked, x, aux)
+
+
+def _pp_hdit(pp_stages=0, pp_axis=None, pp_axis_size=1, depth=4):
+    from flocoder_tpu.models.hdit import (GlobalAttentionSpec, HDiT,
+                                          LevelSpec, MappingSpec)
+    return HDiT(levels=(LevelSpec(1, 16, 32, GlobalAttentionSpec(8)),
+                        LevelSpec(depth, 32, 64, GlobalAttentionSpec(8))),
+                mapping=MappingSpec(1, 32, 64), channels=2, patch_size=2,
+                n_classes=4, pp_stages=pp_stages, pp_axis=pp_axis,
+                pp_axis_size=pp_axis_size)
+
+
+def test_hdit_stacked_mid_level_params_and_serving():
+    """pp_stages>0 lays the mid level out as ONE stacked nn.scan module
+    ('mid_blocks', leading depth axis) and the off-mesh apply replays it
+    sequentially — the serving twin needs no mesh."""
+    model = _pp_hdit(pp_stages=2, depth=4)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 8, 8, 2)),
+                    jnp.float32)
+    t = jnp.asarray([10.0, 500.0])
+    cond = {"class_cond": jnp.asarray([0, 1]), "mask_cond": None}
+    v0 = model.init(jax.random.PRNGKey(0), x, t, cond)
+    mid = v0["params"]["mid_blocks"]
+    leaves = jax.tree_util.tree_leaves(mid)
+    assert all(l.shape[0] == 4 for l in leaves), "params not depth-stacked"
+    out = model.apply(v0, x, t, cond)
+    assert np.isfinite(np.asarray(out)).all()
+    # zero-init output projections hold for the stacked layout too
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_flow_step_hdit_pp_on_mesh_matches_twin():
+    """The production shard_map flow step trains a pipelined HDiT: same
+    params, same batch — the pp model's loss equals the sequential twin's."""
+    from flocoder_tpu.parallel.mesh import make_mesh, shard_batch
+    from flocoder_tpu.training.flow import (create_flow_state,
+                                            make_flow_optimizer,
+                                            make_flow_train_step)
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=2, n_model=4)
+    plain = _pp_hdit(pp_stages=4, depth=4)
+    pp = _pp_hdit(pp_stages=4, pp_axis="model", pp_axis_size=4, depth=4)
+    x0 = jnp.zeros((2, 8, 8, 2))
+    cond0 = {"class_cond": jnp.zeros((2,), jnp.int32), "mask_cond": None}
+    v0 = plain.init(jax.random.PRNGKey(0), x0, jnp.zeros((2,)), cond0)
+    params = {"model": {"params": v0["params"]}}
+    tx = make_flow_optimizer(1e-3)
+    batch = shard_batch(mesh, {
+        "target": np.random.default_rng(4).standard_normal(
+            (8, 8, 8, 2)).astype(np.float32),
+        "class_cond": (np.arange(8) % 4).astype(np.int32)})
+
+    losses = []
+    states = []
+    for m in (plain, pp):
+        step = make_flow_train_step(
+            lambda p, x, t, c, m_=m: m_.apply(p, x, t, c), tx,
+            donate=False, mesh=mesh)
+        state = create_flow_state(params, tx)
+        state, aux = step(state, batch, jax.random.PRNGKey(7))
+        assert np.isfinite(float(aux["loss"]))
+        losses.append(float(aux["loss"]))
+        states.append(state)
+    assert losses[0] == pytest.approx(losses[1], abs=1e-4), losses
+    # grads flowed identically: updated params match across the twins
+    for a, b in zip(jax.tree_util.tree_leaves(states[0].params),
+                    jax.tree_util.tree_leaves(states[1].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_hdit_from_config_pp_validation():
+    from flocoder_tpu.config import config_from_dict
+    from flocoder_tpu.models.hdit import hdit_from_config
+
+    base = {"hdit_depths": [1, 3], "hdit_widths": [16, 32],
+            "hdit_attns": ["global", "global"], "hdit_d_head": 8,
+            "hdit_patch_size": 2}
+    cfg = config_from_dict({"flow": {**base, "hdit_pp_stages": 2}})
+    with pytest.raises(SystemExit, match="divide"):
+        hdit_from_config(cfg, 2, 4, jnp.float32)
+    cfg = config_from_dict({"flow": {**base, "hdit_depths": [1, 4],
+                                     "hdit_moe_experts": [0, 2],
+                                     "hdit_pp_stages": 2}})
+    with pytest.raises(SystemExit, match="MoE"):
+        hdit_from_config(cfg, 2, 4, jnp.float32)
+    cfg = config_from_dict({"flow": {**base, "hdit_depths": [1, 4],
+                                     "hdit_pp_stages": 2}})
+    model = hdit_from_config(cfg, 2, 4, jnp.float32)
+    assert model.pp_stages == 2 and model.levels[-1].depth == 4

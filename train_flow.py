@@ -221,6 +221,24 @@ def train_flow(config):
                              "no aux-loss channel)")
         use_ep = (moe_on and bool(ldcfg(config, "moe_ep", False))
                   and n_model > 1)
+        # pipeline parallelism (flow.pp): the stacked mid level
+        # (flow.hdit_pp_stages, models/hdit.py 'mid_blocks') runs as a
+        # GPipe pipeline over 'model' inside the shard_map step
+        # (parallel/pipeline.py); serving replays it sequentially.
+        use_pp = (model.pp_stages > 0 and bool(ldcfg(config, "pp", False))
+                  and n_model > 1)
+        if use_pp and (meanflow
+                       or float(ldcfg(config, "curvature_weight", 0.0))):
+            raise SystemExit("flow.pp does not combine with flow.meanflow "
+                             "or flow.curvature_weight (their forward-mode "
+                             "jvp cannot ride the pipeline's custom_vjp)")
+        if use_pp and n_model != model.pp_stages:
+            raise SystemExit(f"flow.pp needs flow.n_model "
+                             f"({n_model}) == flow.hdit_pp_stages "
+                             f"({model.pp_stages})")
+        if use_pp and use_ring:
+            raise SystemExit("flow.pp and flow.ring_attention both claim "
+                             "the mesh 'model' axis; pick one")
         clone_kw = {}
         if use_ring:
             clone_kw.update(ring_axis="model", ring_axis_size=n_model)
@@ -228,6 +246,10 @@ def train_flow(config):
             clone_kw.update(ep_axis="model", ep_axis_size=n_model)
             print(f"MoE expert parallelism over 'model' axis "
                   f"(size {n_model})")
+        if use_pp:
+            clone_kw.update(pp_axis="model", pp_axis_size=n_model)
+            print(f"pipeline parallelism: mid level as {n_model} stages "
+                  f"over 'model'")
         train_model = model.clone(**clone_kw) if clone_kw else model
     else:
         moe_on = False
