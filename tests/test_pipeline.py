@@ -175,3 +175,74 @@ def test_hdit_from_config_pp_validation():
                                      "hdit_pp_stages": 2}})
     model = hdit_from_config(cfg, 2, 4, jnp.float32)
     assert model.pp_stages == 2 and model.levels[-1].depth == 4
+
+
+def test_flow_step_pp_and_ep_compose_on_same_axis():
+    """PP (stacked mid level) and EP (MoE outer level) both slice their
+    work by lax.axis_index over the SAME 'model' axis — independent
+    replicated-in/out custom_vjp contracts, so they must compose in one
+    shard_map step and match the plain twin's loss on the same params."""
+    from flocoder_tpu.models.hdit import (GlobalAttentionSpec, HDiT,
+                                          LevelSpec, MappingSpec)
+    from flocoder_tpu.parallel.mesh import make_mesh, shard_batch
+    from flocoder_tpu.training.flow import (create_flow_state,
+                                            make_flow_optimizer,
+                                            make_flow_train_step)
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=4, n_model=2)
+
+    def build(**clone_kw):
+        return HDiT(levels=(LevelSpec(1, 16, 32, GlobalAttentionSpec(8),
+                                      moe_experts=4, moe_top_k=2),
+                            LevelSpec(2, 32, 64, GlobalAttentionSpec(8))),
+                    mapping=MappingSpec(1, 32, 64), channels=2,
+                    patch_size=2, n_classes=4, pp_stages=2, **clone_kw)
+
+    plain = build()
+    both = build(pp_axis="model", pp_axis_size=2,
+                 ep_axis="model", ep_axis_size=2)
+    x0 = jnp.zeros((2, 8, 8, 2))
+    cond0 = {"class_cond": jnp.zeros((2,), jnp.int32), "mask_cond": None}
+    v0 = plain.init(jax.random.PRNGKey(0), x0, jnp.zeros((2,)), cond0)
+    params = {"model": {"params": v0["params"]}}
+    tx = make_flow_optimizer(1e-3)
+    batch = shard_batch(mesh, {
+        "target": np.random.default_rng(5).standard_normal(
+            (8, 8, 8, 2)).astype(np.float32),
+        "class_cond": (np.arange(8) % 4).astype(np.int32)})
+
+    losses = []
+    for m in (plain, both):
+        def apply_fn(p, x, t, c, m_=m):
+            v, mut = m_.apply(p, x, t, c, mutable=["moe_losses"])
+            leaves = jax.tree_util.tree_leaves(mut)
+            return v, 1e-2 * (sum(leaves) / len(leaves))
+
+        step = make_flow_train_step(apply_fn, tx, donate=False, mesh=mesh)
+        state = create_flow_state(params, tx)
+        _, aux = step(state, batch, jax.random.PRNGKey(3))
+        assert np.isfinite(float(aux["loss"]))
+        losses.append(float(aux["loss"]))
+    assert losses[0] == pytest.approx(losses[1], abs=1e-4), losses
+
+
+def test_tpu_pod_recipe_builds_the_full_parallelism_model():
+    """configs/tpu_pod_hdit.yaml composes and builds an HDiT carrying both
+    EP (outer-level MoE) and PP (stacked mid level) — the recipe users run
+    on a multi-chip slice."""
+    import os
+    from flocoder_tpu.config import load_config, ldcfg
+    from flocoder_tpu.models.hdit import hdit_from_config
+
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    cfg = load_config("tpu_pod_hdit", config_dir=cfg_dir)
+    assert int(ldcfg(cfg, "n_model")) == 4
+    assert bool(ldcfg(cfg, "moe_ep")) and bool(ldcfg(cfg, "pp"))
+    model = hdit_from_config(cfg, 4, 102, jnp.bfloat16)
+    assert model.levels[0].moe_experts == 8
+    assert model.levels[1].moe_experts == 0
+    assert model.pp_stages == 4
+    assert model.levels[-1].depth % model.pp_stages == 0
