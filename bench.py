@@ -622,6 +622,23 @@ def _run():
     except Exception as e:  # noqa: BLE001
         print(f"sampler batch sweep failed: {e}", file=sys.stderr)
 
+    try:
+        # HDiT family row (the reference train_flow.py:292-300 branch's
+        # exact printed spec — 20.9M params vs the U-Net's 2.6M): a
+        # token-matmul transformer reaches ~10× the U-Net's FLOPs/step at
+        # the same wall-clock on small latents (benchmarks/hdit_timing.py).
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from hdit_timing import bench_hdit
+        h = bench_hdit(patch=4, K=20)
+        extra["hdit_flow_step_samples_per_sec"] = h["samples_per_sec"]
+        extra["hdit_flow_step_params_M"] = h["params_M"]
+        if h.get("mfu_pct") is not None:
+            extra["hdit_flow_step_mfu_pct"] = h["mfu_pct"]
+            extra["hdit_flow_step_gflops_per_step"] = h["gflops_per_step"]
+    except Exception as e:  # noqa: BLE001
+        print(f"hdit flow-step bench failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "flow_train_throughput",
         "value": round(samples_per_sec, 1),

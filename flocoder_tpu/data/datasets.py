@@ -526,21 +526,74 @@ class ColorAwareDataset:
         return img, label
 
 
+POP909_URL = ("https://github.com/music-x-lab/POP909-Dataset/raw/refs/"
+              "heads/master/POP909.zip")
+
+
+def maybe_download_pop909(root: str, url: str = POP909_URL) -> Optional[str]:
+    """Egress-gated POP909 fetch (reference: data.py:199,214-216 downloads
+    and extracts the zip via torchvision utils). Downloads ``url`` into
+    ``root`` and extracts it; returns the extracted directory, or None on
+    any failure (no egress, bad archive) so callers keep the local-corpus
+    path. ``file://`` URLs work too, which is how the test suite exercises
+    the extraction without network."""
+    import urllib.request
+    import zipfile
+    name = url.rsplit("/", 1)[-1]
+    out_dir = os.path.join(root, name[:-4] if name.endswith(".zip") else name)
+    if os.path.isdir(out_dir) and fast_scandir(out_dir, (".mid", ".midi"))[1]:
+        return out_dir
+    try:
+        os.makedirs(root, exist_ok=True)
+        zip_path = os.path.join(root, name)
+        if not os.path.isfile(zip_path):
+            with urllib.request.urlopen(url, timeout=60) as r, \
+                    open(zip_path + ".part", "wb") as f:
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    f.write(chunk)
+            os.replace(zip_path + ".part", zip_path)
+        with zipfile.ZipFile(zip_path) as zf:
+            zf.extractall(root)
+        return out_dir if os.path.isdir(out_dir) else root
+    except Exception as e:  # no egress / corrupt archive → local fallback
+        print(f"maybe_download_pop909: {type(e).__name__}: {e}; "
+              "expecting a local MIDI corpus")
+        return None
+
+
 class MIDIImageDataset:
-    """Piano-roll images converted from a local MIDI corpus (reference:
-    data.py:195-283 — which downloads the POP909 zip; with no network egress
-    here, point ``midi_dir`` at an existing corpus). Conversion runs once via
-    a thread pool into ``image_dir``; song-directory number splits train/val
-    like the reference (:266-275)."""
+    """Piano-roll images converted from a MIDI corpus (reference:
+    data.py:195-283). When ``download=True`` and ``midi_dir`` holds no MIDI
+    files, attempts the reference's POP909 zip fetch (egress-gated,
+    ``maybe_download_pop909``); otherwise point ``midi_dir`` at an existing
+    corpus. ``skip_versions`` drops the ``versions/`` alternate takes of
+    each song (reference :219-220); ``total_only`` keeps only the _TOTAL
+    roll per song (reference :240-242). Conversion runs once via a thread
+    pool into ``image_dir``; song-directory number splits train/val like
+    the reference (:266-275)."""
 
     def __init__(self, midi_dir: str, image_dir: Optional[str] = None,
                  split: str = "train", val_mod: int = 10,
                  transform: Optional[Callable] = None,
-                 num_workers: int = 4):
+                 num_workers: int = 4, download: bool = True,
+                 skip_versions: bool = True, total_only: bool = False,
+                 url: str = POP909_URL):
         from .pianoroll import midi_to_pr_img
         self.midi_dir = os.path.expanduser(midi_dir)
         self.image_dir = image_dir or self.midi_dir.rstrip("/") + "_images"
         _, midis = fast_scandir(self.midi_dir, (".mid", ".midi"))
+        if not midis and download:
+            got = maybe_download_pop909(self.midi_dir, url=url)
+            if got:
+                self.image_dir = (image_dir
+                                  or got.rstrip("/") + "_images")
+                _, midis = fast_scandir(got, (".mid", ".midi"))
+        if skip_versions:
+            midis = [m for m in midis
+                     if f"{os.sep}versions{os.sep}" not in m]
         if not midis:
             raise FileNotFoundError(f"no MIDI files under {self.midi_dir}")
         if not os.path.isdir(self.image_dir) or not fast_scandir(
@@ -550,6 +603,9 @@ class MIDIImageDataset:
                 list(pool.map(
                     lambda m: midi_to_pr_img(m, self.image_dir), midis))
         _, files = fast_scandir(self.image_dir, IMG_EXTS)
+        if total_only:
+            # keep only the _TOTAL roll of each song (reference :240-242)
+            files = [f for f in files if "_TOTAL" in os.path.basename(f)]
 
         def song_num(f: str) -> int:
             base = os.path.basename(os.path.dirname(f))

@@ -33,7 +33,9 @@ def make_audio_optimizer(learning_rate: float, grad_clip: float = 1.0):
 
 
 def _loss_cfg(config):
-    cc = config.codec if "codec" in config else {}
+    # tolerate both the attribute-style Config and a plain dict
+    cc = (config.codec if hasattr(config, "codec")
+          else config.get("codec", {}) if hasattr(config, "get") else {})
     get = (cc.get if hasattr(cc, "get") else lambda k, d: d)
     return {
         "lambda_wave": float(get("lambda_wave", 1.0)),

@@ -163,6 +163,54 @@ def test_midi_image_dataset_conversion(tmp_path):
     assert b["target"].shape[0] == 2
 
 
+def test_midi_dataset_download_and_skip_versions(tmp_path):
+    """The egress-gated POP909 fetch path (reference data.py:199,214-216)
+    driven through a file:// URL: an empty midi_dir + download=True fetches
+    and extracts the zip, and versions/ alternate takes are skipped
+    (reference :219-220)."""
+    import zipfile
+    from flocoder_tpu.data.datasets import (MIDIImageDataset,
+                                            maybe_download_pop909)
+    inst = MidiInstrument(name="PIANO", notes=[
+        MidiNote(pitch=60 + i, velocity=80, start=i * 0.25,
+                 end=i * 0.25 + 0.2) for i in range(8)])
+    src = tmp_path / "src"
+    for rel in ("POP909/001/001.mid", "POP909/002/002.mid",
+                "POP909/001/versions/alt.mid"):
+        p = src / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        write_midi(str(p), MidiFile(instruments=[inst],
+                                    tempos=[(0.0, 120.0)]))
+    zip_path = tmp_path / "POP909.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _, files in os.walk(src):
+            for f in files:
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, src))
+    url = "file://" + str(zip_path)
+    corpus = tmp_path / "corpus"
+    got = maybe_download_pop909(str(corpus), url=url)
+    assert got and os.path.isdir(got)
+    # a second call is idempotent (already-extracted fast path)
+    assert maybe_download_pop909(str(corpus), url=url) == got
+    ds = MIDIImageDataset(str(tmp_path / "corpus2"),
+                          image_dir=str(tmp_path / "imgs"),
+                          split="train", val_mod=10, url=url)
+    # 2 songs × 3 rolls each; the versions/ take is excluded
+    assert len(ds) == 6
+    assert not any("versions" in f for f in ds.files)
+    tot = MIDIImageDataset(str(tmp_path / "corpus2"),
+                           image_dir=str(tmp_path / "imgs"),
+                           split="train", val_mod=10, url=url,
+                           total_only=True)
+    assert len(tot.files) == 2
+    assert all("_TOTAL" in os.path.basename(f) for f in tot.files)
+    # bad URL + no local corpus → clear FileNotFoundError (no egress here)
+    with pytest.raises(FileNotFoundError):
+        MIDIImageDataset(str(tmp_path / "nowhere"),
+                         url="file:///nonexistent.zip")
+
+
 def test_chord_color_bars(tmp_path):
     """Chord bars paint the CHORD_BORDER top/bottom rows with per-chord
     colors; blockout_topbottom_arr strips them (reference pianoroll.py:
