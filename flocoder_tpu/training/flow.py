@@ -29,7 +29,8 @@ from ..sampling import warp_time
 from .ema import ema_init, ema_update
 
 __all__ = ["FlowState", "create_flow_state", "make_flow_train_step",
-           "make_flow_eval_step", "make_flow_optimizer", "meanflow_target"]
+           "make_flow_eval_step", "make_flow_optimizer", "meanflow_target",
+           "make_flow_grads_fn"]
 
 
 def meanflow_target(model_apply: Callable, params, x_r, r, t_h, v_star,
@@ -116,124 +117,46 @@ def _interp(source, target, t):
     return (1 - te) * source + te * target
 
 
-def make_flow_train_step(model_apply: Callable, tx,
-                         mask_encoder_apply: Optional[Callable] = None,
-                         cfg_dropout: float = 0.1, eps: float = 1e-3,
-                         warp_s: float = 0.5, t_scale: float = 999.0,
-                         ema_decay: float = 0.999, use_ot: bool = True,
-                         mask_identity_weight: float = 1.0,
-                         remat: bool = False,
-                         encode_fn: Optional[Callable] = None,
-                         donate: Optional[bool] = None,
-                         mesh=None, axis_name: Optional[str] = None,
-                         steps_per_call: int = 1,
-                         ot_method: str = "parallel",
-                         ot_block: Optional[int] = None,
-                         blank_latents: Optional[jax.Array] = None,
-                         otf_aug: Optional[dict] = None,
-                         paired_source: bool = False,
-                         curvature_weight: float = 0.0,
-                         meanflow: bool = False,
-                         meanflow_ratio: float = 0.25,
-                         meanflow_adaptive_p: float = 0.5):
-    """Build the jitted train step.
+def make_flow_grads_fn(model_apply: Callable,
+                       mask_encoder_apply: Optional[Callable] = None,
+                       eps: float = 1e-3,
+                       warp_s: float = 0.5, t_scale: float = 999.0,
+                       use_ot: bool = True,
+                       mask_identity_weight: float = 1.0,
+                       encode_fn: Optional[Callable] = None,
+                       axis_name: Optional[str] = None,
+                       ot_method: str = "parallel",
+                       ot_block: Optional[int] = None,
+                       blank_latents: Optional[jax.Array] = None,
+                       otf_aug: Optional[dict] = None,
+                       paired_source: bool = False,
+                       curvature_weight: float = 0.0,
+                       meanflow: bool = False,
+                       meanflow_ratio: float = 0.25,
+                       meanflow_adaptive_p: float = 0.5):
+    """Build the per-(micro)batch gradient function of the flow objective:
+    ``grads_fn(params, step_ctr, batch, rng, drop) -> ((loss, aux), grads)``.
 
-    ``model_apply(params, x, t_vec, cond)`` and (optionally)
-    ``mask_encoder_apply(params, mask_pixels)`` are pure functions.
-    Batch: {'target': (B,H,W,C) latents, 'class_cond': (B,) int or absent,
-    'source': source latents (inpainting), 'mask_pixels': (B,Hp,Wp,1)}.
+    This is the loss core of :func:`make_flow_train_step`, factored out so
+    gradient accumulation (``grad_accum`` below) can scan it over microbatch
+    slices — and so tests can verify bit-exactly that an accumulated step's
+    update equals the mean of the per-microbatch gradients. ``drop`` is the
+    batch-global CFG-dropout gate (drawn once per OPTIMIZER step by the
+    caller, reference train_flow.py:344-346); ``rng`` covers the remaining
+    draws (noise, t, CFG resample, OTF selection). ``step_ctr`` drives the
+    on-device OTF curriculum schedule."""
 
-    ``encode_fn(pixels) -> latents`` enables on-the-fly (non-pre-encoded)
-    training: batches carry 'pixels' and the frozen codec's encode runs
-    INSIDE the same XLA executable as the flow step (the reference's
-    pre_encoded=False branch, train_flow.py:253-262, runs the codec in a
-    separate host-driven pass).
-
-    ``mesh``: when given, the step is built with ``shard_map`` over the
-    mesh's 'data' axis with EXPLICIT shardings — batch sharded on the
-    leading dim, params/optimizer/EMA replicated, gradients ``pmean``-reduced
-    over ICI. OT pairing then runs PER SHARD (each device pairs only its own
-    sub-batch — statistically equivalent minibatch-OT with ZERO cross-device
-    gathers, vs. the global ``target[idx]`` gather the plain-jit path implies
-    on a real mesh). Per-shard noise/t draws fold the axis index into the
-    rng; the CFG dropout gate stays batch-global (reference semantics:
-    train_flow.py:344-346 drops the whole batch).
-
-    ``steps_per_call``: when >1 the returned function takes batches stacked
-    on a leading (K, B, ...) axis and runs K optimizer steps in one
-    ``lax.scan`` — one host dispatch per K steps. rng contract: the call key
-    is split into K per-step keys, so K scanned steps reproduce K single
-    steps fed ``jax.random.split(rng, K)[i]``.
-
-    ``otf_aug``: inpainting curriculum + on-the-fly mask augmentation
-    (reference: train_flow.py:126-160). A dict of STATIC floats/ints
-    {'curriculum_epochs', 'extend_epochs', 'p_ones', 'p_zeros',
-    'steps_per_epoch'} — the per-epoch (p_ones, p_zeros) schedule is
-    computed ON DEVICE from ``state.step`` (epoch = step//steps_per_epoch+1)
-    so nothing retraces as the curriculum ramps. Per step, a fraction
-    p_ones of the batch becomes unconditional generation (mask:=1, source:=
-    ``blank_latents`` — the encoded blank image, reference :275-279) and
-    p_zeros becomes identity (mask:=0, source:=target); fractions are exact
-    per shard via rank-threshold selection (the reference's host-side
-    ``np.random.choice`` without replacement, train_flow.py:74-86).
-
-    ``paired_source``: reflow/distillation mode (a capability the reference
-    lacks — its README.md:147 lists "reflow" as future work). Batches carry a
-    FIXED (source, target) coupling — e.g. (noise, model-generated sample)
-    pairs from ``tools/make_reflow_pairs.py`` — so the step trains on the
-    straightened path between them (Liu et al., Rectified Flow). The pairing
-    is sacrosanct: OT re-pairing is skipped (it would scramble the coupling)
-    and the CFG-dropout gate nulls the class token WITHOUT resampling the
-    source (a resample would break the pair; an independent-coupling batch
-    teaches nothing a reflow pass is for).
-
-    ``curvature_weight``: path-straightness regularizer (the reference's
-    open README.md:147 TODO "Straighter/OT paths: … Curvature penalty").
-    Adds λ·E‖d v(x_t, t)/dt‖² along the training path — the total
-    derivative ∂v/∂t + (∂v/∂x)·(target − source), computed with ONE
-    forward-mode ``jax.jvp`` that also yields v itself (so the extra cost
-    is ≈ one forward pass, no second backward pass). A field with zero
-    path curvature integrates exactly in one Euler step, so this trains
-    toward few-NFE serving in the base run (and composes with a reflow
-    distillation pass).
-
-    ``meanflow``: train the model as an AVERAGE-velocity field u(x, r, t)
-    instead of an instantaneous one (see ``meanflow_target`` — the
-    reference's README.md:158 'Mean Flows' research TODO). Requires a
-    dual-time model (``Unet(dual_time=True)``). Per batch, a fraction
-    ``meanflow_ratio`` of samples draws r ~ U(0, t) (the rest use r = t,
-    which is exactly flow matching), the path point is interpolated at r,
-    and the loss is ‖u − sg(u_tgt)‖² with the paper's adaptive weighting
-    w = (‖err‖² + 1e-3)^(−meanflow_adaptive_p) (p=0 → plain MSE). One-step
-    serving: ``generate_latents(method='meanflow', n_steps=1)``. Not
-    combinable with curvature_weight or the inpainting mask path.
-    Pass ``t_scale=1.0`` with meanflow (train_flow.py does): the identity
-    target (t−r)·du/dr is O(1) only when the field is smooth in r, and the
-    reference's t·999 embedding convention puts sin(999·ω·r) in the jvp
-    path — measured raw target MSE 2.8e4 at init (vs 4.8 unscaled), which
-    never trains down. Serve with the same t_scale."""
-    if meanflow and (curvature_weight or mask_encoder_apply is not None):
-        raise ValueError("meanflow mode does not combine with "
-                         "curvature_weight or the inpainting mask path")
-    if remat:
-        model_apply = jax.checkpoint(model_apply)
-    if donate is None:
-        donate = _default_donate()
-    if mesh is not None and axis_name is None:
-        # batch axes: ('dcn','data') on multi-slice meshes, 'data' otherwise
-        from ..parallel.mesh import batch_axis_names
-        axis_name = batch_axis_names(mesh)
-
-    def step_fn(state: FlowState, batch: dict, rng: jax.Array):
+    def grads_fn(params, step_ctr, batch: dict, rng: jax.Array,
+                 drop: jax.Array):
         if encode_fn is not None and "pixels" in batch:
             target_in = jax.lax.stop_gradient(encode_fn(batch["pixels"]))
         else:
             target_in = batch["target"]
         class_cond_in = batch.get("class_cond")
         B = target_in.shape[0]
-        k_noise, k_gate, k_cfgnoise, k_t, k_otf = jax.random.split(rng, 5)
+        k_noise, k_cfgnoise, k_t, k_otf = jax.random.split(rng, 4)
         if axis_name is not None:
-            # distinct noise per shard; the gate key stays global so the
+            # distinct noise per shard; the gate (`drop`) stays global so the
             # whole (global) batch drops conditioning together. axis_name
             # may be a tuple (('dcn','data') on multi-slice meshes) — fold
             # in the combined linear shard index.
@@ -247,7 +170,6 @@ def make_flow_train_step(model_apply: Callable, tx,
             k_t = jax.random.fold_in(k_t, ax)
             k_otf = jax.random.fold_in(k_otf, ax)
         noise = jax.random.normal(k_noise, target_in.shape, target_in.dtype)
-        drop = jax.random.uniform(k_gate) < cfg_dropout
 
         t = jax.random.uniform(k_t, (B,), target_in.dtype) * (1 - eps) + eps
         t = warp_time(t, s=warp_s)  # (reference: train_flow.py:350-351)
@@ -267,7 +189,7 @@ def make_flow_train_step(model_apply: Callable, tx,
                     p1f = float(otf_aug.get("p_ones", 0.0))
                     p0f = float(otf_aug.get("p_zeros", 0.0))
                     spe = max(int(otf_aug.get("steps_per_epoch", 1)), 1)
-                    ep = (state.step // spe + 1).astype(jnp.float32)
+                    ep = (step_ctr // spe + 1).astype(jnp.float32)
                     prog = jnp.clip((ep - ce) / jnp.maximum(ee - ce, 1.0),
                                     0.0, 1.0)
                     p_ones = jnp.where(
@@ -407,7 +329,175 @@ def make_flow_train_step(model_apply: Callable, tx,
             aux["loss"] = loss
             return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    return grads_fn
+
+
+def make_flow_train_step(model_apply: Callable, tx,
+                         mask_encoder_apply: Optional[Callable] = None,
+                         cfg_dropout: float = 0.1, eps: float = 1e-3,
+                         warp_s: float = 0.5, t_scale: float = 999.0,
+                         ema_decay: float = 0.999, use_ot: bool = True,
+                         mask_identity_weight: float = 1.0,
+                         remat: bool = False,
+                         encode_fn: Optional[Callable] = None,
+                         donate: Optional[bool] = None,
+                         mesh=None, axis_name: Optional[str] = None,
+                         steps_per_call: int = 1,
+                         ot_method: str = "parallel",
+                         ot_block: Optional[int] = None,
+                         blank_latents: Optional[jax.Array] = None,
+                         otf_aug: Optional[dict] = None,
+                         paired_source: bool = False,
+                         curvature_weight: float = 0.0,
+                         meanflow: bool = False,
+                         meanflow_ratio: float = 0.25,
+                         meanflow_adaptive_p: float = 0.5,
+                         grad_accum: int = 1):
+    """Build the jitted train step.
+
+    ``model_apply(params, x, t_vec, cond)`` and (optionally)
+    ``mask_encoder_apply(params, mask_pixels)`` are pure functions.
+    Batch: {'target': (B,H,W,C) latents, 'class_cond': (B,) int or absent,
+    'source': source latents (inpainting), 'mask_pixels': (B,Hp,Wp,1)}.
+
+    ``encode_fn(pixels) -> latents`` enables on-the-fly (non-pre-encoded)
+    training: batches carry 'pixels' and the frozen codec's encode runs
+    INSIDE the same XLA executable as the flow step (the reference's
+    pre_encoded=False branch, train_flow.py:253-262, runs the codec in a
+    separate host-driven pass).
+
+    ``mesh``: when given, the step is built with ``shard_map`` over the
+    mesh's 'data' axis with EXPLICIT shardings — batch sharded on the
+    leading dim, params/optimizer/EMA replicated, gradients ``pmean``-reduced
+    over ICI. OT pairing then runs PER SHARD (each device pairs only its own
+    sub-batch — statistically equivalent minibatch-OT with ZERO cross-device
+    gathers, vs. the global ``target[idx]`` gather the plain-jit path implies
+    on a real mesh). Per-shard noise/t draws fold the axis index into the
+    rng; the CFG dropout gate stays batch-global (reference semantics:
+    train_flow.py:344-346 drops the whole batch).
+
+    ``steps_per_call``: when >1 the returned function takes batches stacked
+    on a leading (K, B, ...) axis and runs K optimizer steps in one
+    ``lax.scan`` — one host dispatch per K steps. rng contract: the call key
+    is split into K per-step keys, so K scanned steps reproduce K single
+    steps fed ``jax.random.split(rng, K)[i]``.
+
+    ``otf_aug``: inpainting curriculum + on-the-fly mask augmentation
+    (reference: train_flow.py:126-160). A dict of STATIC floats/ints
+    {'curriculum_epochs', 'extend_epochs', 'p_ones', 'p_zeros',
+    'steps_per_epoch'} — the per-epoch (p_ones, p_zeros) schedule is
+    computed ON DEVICE from ``state.step`` (epoch = step//steps_per_epoch+1)
+    so nothing retraces as the curriculum ramps. Per step, a fraction
+    p_ones of the batch becomes unconditional generation (mask:=1, source:=
+    ``blank_latents`` — the encoded blank image, reference :275-279) and
+    p_zeros becomes identity (mask:=0, source:=target); fractions are exact
+    per shard via rank-threshold selection (the reference's host-side
+    ``np.random.choice`` without replacement, train_flow.py:74-86).
+
+    ``paired_source``: reflow/distillation mode (a capability the reference
+    lacks — its README.md:147 lists "reflow" as future work). Batches carry a
+    FIXED (source, target) coupling — e.g. (noise, model-generated sample)
+    pairs from ``tools/make_reflow_pairs.py`` — so the step trains on the
+    straightened path between them (Liu et al., Rectified Flow). The pairing
+    is sacrosanct: OT re-pairing is skipped (it would scramble the coupling)
+    and the CFG-dropout gate nulls the class token WITHOUT resampling the
+    source (a resample would break the pair; an independent-coupling batch
+    teaches nothing a reflow pass is for).
+
+    ``curvature_weight``: path-straightness regularizer (the reference's
+    open README.md:147 TODO "Straighter/OT paths: … Curvature penalty").
+    Adds λ·E‖d v(x_t, t)/dt‖² along the training path — the total
+    derivative ∂v/∂t + (∂v/∂x)·(target − source), computed with ONE
+    forward-mode ``jax.jvp`` that also yields v itself (so the extra cost
+    is ≈ one forward pass, no second backward pass). A field with zero
+    path curvature integrates exactly in one Euler step, so this trains
+    toward few-NFE serving in the base run (and composes with a reflow
+    distillation pass).
+
+    ``meanflow``: train the model as an AVERAGE-velocity field u(x, r, t)
+    instead of an instantaneous one (see ``meanflow_target`` — the
+    reference's README.md:158 'Mean Flows' research TODO). Requires a
+    dual-time model (``Unet(dual_time=True)``). Per batch, a fraction
+    ``meanflow_ratio`` of samples draws r ~ U(0, t) (the rest use r = t,
+    which is exactly flow matching), the path point is interpolated at r,
+    and the loss is ‖u − sg(u_tgt)‖² with the paper's adaptive weighting
+    w = (‖err‖² + 1e-3)^(−meanflow_adaptive_p) (p=0 → plain MSE). One-step
+    serving: ``generate_latents(method='meanflow', n_steps=1)``. Not
+    combinable with curvature_weight or the inpainting mask path.
+    Pass ``t_scale=1.0`` with meanflow (train_flow.py does): the identity
+    target (t−r)·du/dr is O(1) only when the field is smooth in r, and the
+    reference's t·999 embedding convention puts sin(999·ω·r) in the jvp
+    path — measured raw target MSE 2.8e4 at init (vs 4.8 unscaled), which
+    never trains down. Serve with the same t_scale.
+
+    ``grad_accum``: microbatch gradient accumulation — a capability the
+    reference lacks entirely (its effective batch is HBM-bound). The batch is
+    split into ``grad_accum`` leading slices and a ``lax.scan`` accumulates
+    per-microbatch gradients (mean), then ONE optimizer + EMA update runs —
+    so activation memory scales with B/grad_accum while the update sees the
+    full batch. Semantics: the CFG-dropout gate is drawn once per optimizer
+    step (batch-global, reference-faithful); noise/t draws and OT pairing are
+    per microbatch (i.e. minibatch-OT at size B/grad_accum — the same
+    estimator the reference uses at its own batch size). Exactness is tested
+    against :func:`make_flow_grads_fn` (tests/test_grad_accum.py). Composes
+    with ``mesh`` (microbatching happens per shard) and ``steps_per_call``."""
+    if meanflow and (curvature_weight or mask_encoder_apply is not None):
+        raise ValueError("meanflow mode does not combine with "
+                         "curvature_weight or the inpainting mask path")
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    if remat:
+        model_apply = jax.checkpoint(model_apply)
+    if donate is None:
+        donate = _default_donate()
+    if mesh is not None and axis_name is None:
+        # batch axes: ('dcn','data') on multi-slice meshes, 'data' otherwise
+        from ..parallel.mesh import batch_axis_names
+        axis_name = batch_axis_names(mesh)
+
+    grads_fn = make_flow_grads_fn(
+        model_apply, mask_encoder_apply=mask_encoder_apply, eps=eps,
+        warp_s=warp_s, t_scale=t_scale, use_ot=use_ot,
+        mask_identity_weight=mask_identity_weight, encode_fn=encode_fn,
+        axis_name=axis_name, ot_method=ot_method, ot_block=ot_block,
+        blank_latents=blank_latents, otf_aug=otf_aug,
+        paired_source=paired_source, curvature_weight=curvature_weight,
+        meanflow=meanflow, meanflow_ratio=meanflow_ratio,
+        meanflow_adaptive_p=meanflow_adaptive_p)
+
+    def step_fn(state: FlowState, batch: dict, rng: jax.Array):
+        k_gate, k_body = jax.random.split(rng)
+        drop = jax.random.uniform(k_gate) < cfg_dropout
+
+        if grad_accum > 1:
+            lead = next(iter(batch.values())).shape[0]
+            if lead % grad_accum:
+                raise ValueError(
+                    f"(per-shard) batch size {lead} is not divisible by "
+                    f"grad_accum={grad_accum}")
+            micro = jax.tree_util.tree_map(
+                lambda a: a.reshape((grad_accum, lead // grad_accum)
+                                    + a.shape[1:]), batch)
+            keys = jax.random.split(k_body, grad_accum)
+            sub0 = jax.tree_util.tree_map(lambda a: a[0], micro)
+            acc0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(grads_fn, state.params, state.step, sub0,
+                               keys[0], drop))
+
+            def body(acc, xs):
+                sub, k = xs
+                out = grads_fn(state.params, state.step, sub, k, drop)
+                return jax.tree_util.tree_map(jnp.add, acc, out), None
+
+            summed, _ = jax.lax.scan(body, acc0, (micro, keys))
+            (loss, aux), grads = jax.tree_util.tree_map(
+                lambda x: x / grad_accum, summed)
+        else:
+            (loss, aux), grads = grads_fn(state.params, state.step, batch,
+                                          k_body, drop)
         if axis_name is not None:
             # the one collective of the step: grad (+scalar-metric) reduction
             # over ICI; the optimizer/EMA update then runs replicated.

@@ -91,6 +91,20 @@ def _mesh_wrap(step_fn, mesh, axis_name, donate):
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
+def _split_micro(batch, rng, grad_accum: int):
+    """Slice a (per-shard) batch into ``grad_accum`` leading microbatches and
+    derive one rng per microbatch. Raises when the batch doesn't divide."""
+    lead = (next(iter(batch.values())).shape[0] if isinstance(batch, dict)
+            else batch.shape[0])
+    if lead % grad_accum:
+        raise ValueError(f"(per-shard) batch size {lead} is not divisible "
+                         f"by grad_accum={grad_accum}")
+    micro = jax.tree_util.tree_map(
+        lambda a: a.reshape((grad_accum, lead // grad_accum) + a.shape[1:]),
+        batch)
+    return micro, jax.random.split(rng, grad_accum)
+
+
 def _g_trainable(params: dict) -> dict:
     """Encoder+decoder leaves get gradients; the RVQ state updates via EMA,
     not the optimizer."""
@@ -136,23 +150,64 @@ def make_vqgan_warmup_step(codec, tx_g, config,
                            perceptual_fn: Optional[Callable] = None,
                            axis_name: Optional[str] = None,
                            donate: Optional[bool] = None,
-                           mesh=None):
+                           mesh=None, grad_accum: int = 1):
     """Reconstruction-only phase (reference: train_vqgan.py:194-210).
 
     ``mesh``: when given, the step runs under ``shard_map`` with the batch
     sharded over the mesh's data axes — gradients pmean-reduced and the RVQ
     codebook EMA statistics psum-reduced over ICI (SURVEY §2d's one genuine
-    cross-device communication requirement)."""
+    cross-device communication requirement).
+
+    ``grad_accum``: microbatch gradient accumulation (a capability the
+    reference lacks — its 128² batch is HBM-bound). The (per-shard) batch is
+    split into ``grad_accum`` slices; a ``lax.scan`` accumulates generator
+    gradients while the RVQ EMA state and codebook statistics CHAIN through
+    the microbatches (the EMA fold runs per microbatch — same statistics a
+    run at batch B/grad_accum would gather, with one optimizer update per
+    full batch). Activation memory scales with B/grad_accum."""
     if donate is None:
         donate = _default_donate()
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     axis_name = _resolve_axis(mesh, axis_name)
     loss_fn = _generator_loss_fn(codec, config, perceptual_fn, None,
                                  use_gan=False, axis_name=axis_name)
 
     def step_fn(state: VQGANState, batch, rng):
-        (total, (losses, recon, idx, new_vq)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(_g_trainable(state.params),
-                                   state.params["vq"], None, batch, rng)
+        if grad_accum > 1:
+            g_params = _g_trainable(state.params)
+            micro, keys = _split_micro(batch, rng, grad_accum)
+
+            def micro_out(vq, sub, k):
+                return jax.value_and_grad(loss_fn, has_aux=True)(
+                    g_params, vq, None, sub, k)
+
+            sub0 = jax.tree_util.tree_map(lambda a: a[0], micro)
+            shp = jax.eval_shape(micro_out, state.params["vq"], sub0, keys[0])
+            (t_shp, (l_shp, _, _, _)), g_shp = shp
+            zeros = lambda tree: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+            def body(carry, xs):
+                vq, gsum, lsum, tsum = carry
+                sub, k = xs
+                (tot, (ls, _recon, idx, new_vq)), g = micro_out(vq, sub, k)
+                return (new_vq,
+                        jax.tree_util.tree_map(jnp.add, gsum, g),
+                        jax.tree_util.tree_map(jnp.add, lsum, ls),
+                        tsum + tot), idx
+
+            (new_vq, gsum, lsum, tsum), idx_stack = jax.lax.scan(
+                body, (state.params["vq"], zeros(g_shp), zeros(l_shp),
+                       zeros(t_shp)), (micro, keys))
+            grads = jax.tree_util.tree_map(lambda x: x / grad_accum, gsum)
+            losses = jax.tree_util.tree_map(lambda x: x / grad_accum, lsum)
+            total = tsum / grad_accum
+            idx = idx_stack.reshape((-1,) + idx_stack.shape[2:])
+        else:
+            (total, (losses, recon, idx, new_vq)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(_g_trainable(state.params),
+                                       state.params["vq"], None, batch, rng)
         aux = {k: v for k, v in losses.items()}
         aux["total"] = total
         if axis_name is not None:
@@ -178,7 +233,7 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
                         axis_name: Optional[str] = None,
                         donate: Optional[bool] = None,
                         lecam_weight: float = 0.0,
-                        mesh=None):
+                        mesh=None, grad_accum: int = 1):
     """GAN phase: D step then G step in one executable
     (reference: train_vqgan.py:213-246). ``mesh``: shard_map over the data
     axes — D and G gradients pmean'd, RVQ stats psum'd (see warmup step).
@@ -196,11 +251,123 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
     D (reference semantics, train_vqgan.py:236-246). The targets are
     stop-gradient constants either way; sharing makes them one Adam step
     stale but drops one of the step's four discriminator forwards.
-    Default false (reference-exact)."""
+    Default false (reference-exact).
+
+    ``grad_accum``: microbatch gradient accumulation for effective batches
+    beyond HBM (the 128² GAN step fits B≈64 on a v5e chip; grad_accum=4
+    trains an effective B=256). ONE ``lax.scan`` pass per step keeps the
+    vjp trick: each microbatch contributes D gradients AND G gradients, the
+    RVQ EMA state + spectral-norm power-iteration vectors chain through the
+    scan, then one D update and one G update apply the means. Semantic
+    divergence (documented): the G adversarial/feature terms see the
+    PRE-update discriminator (simultaneous GAN update) instead of the
+    just-updated one (alternating, the grad_accum=1 path) — the D update
+    cannot happen mid-scan without splitting the pass in two and recomputing
+    every codec forward. Both schemes are standard GAN updates; at
+    grad_accum=1 the step is bit-identical to before."""
     if donate is None:
         donate = _default_donate()
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     axis_name = _resolve_axis(mesh, axis_name)
     share_real_features = bool(config.codec.get("share_real_features", False))
+
+    def accum_step_fn(state: VQGANState, batch, rng):
+        params = state.params
+        g_params = _g_trainable(params)
+        micro, keys = _split_micro(batch, rng, grad_accum)
+
+        def micro_terms(vq, dvars, sub, k):
+            """One microbatch: codec forward (vjp saved), D grads on the
+            carried disc, G grads pulled back through the saved vjp against
+            the same (pre-update) disc with advanced power-iteration stats."""
+            def forward_fn(gp):
+                recon, commit, idx, new_vq = codec.forward(
+                    {**gp, "vq": vq}, sub, train=True, rng=k,
+                    axis_name=axis_name)
+                return (recon, commit), (idx, new_vq)
+
+            (recon, commit), vjp_fn, (idx, new_vq) = jax.vjp(
+                forward_fn, g_params, has_aux=True)
+            fake = jax.lax.stop_gradient(recon)
+
+            def d_loss_fn(d_params):
+                dv = {**dvars, "params": d_params}
+                (real_pred, real_features), new_vars = disc_apply_train(dv,
+                                                                        sub)
+                (fake_pred, _), new_vars = disc_apply_train(new_vars | {
+                    "params": d_params}, fake)
+                d_loss = hinge_d_loss(real_pred, fake_pred)
+                if lecam_weight > 0:
+                    d_loss = d_loss + lecam_loss(real_pred, fake_pred,
+                                                 lecam_weight)
+                return d_loss, (new_vars, real_features)
+
+            (d_loss, (new_vars, real_features)), d_grads = \
+                jax.value_and_grad(d_loss_fn, has_aux=True)(dvars["params"])
+            g_disc_vars = {**new_vars, "params": dvars["params"]}
+
+            def g_loss_on_outputs(recon, commit):
+                disc_fn = lambda dv, x: disc_apply_eval(dv, x)
+                losses = compute_vqgan_losses(
+                    recon, sub, commit, config, perceptual_fn=perceptual_fn,
+                    disc_apply=disc_fn, disc_params=g_disc_vars,
+                    warmed_up=True, report_d_loss=False,
+                    real_features=(jax.lax.stop_gradient(real_features)
+                                   if share_real_features else None))
+                return get_total_vqgan_loss(losses, config), losses
+
+            (total, losses), (d_recon, d_commit) = jax.value_and_grad(
+                g_loss_on_outputs, argnums=(0, 1), has_aux=True)(recon,
+                                                                 commit)
+            (g_grads,) = vjp_fn((d_recon, d_commit))
+            stats_vars = {**new_vars, "params": dvars["params"]}
+            losses = dict(losses)
+            losses["total"] = total
+            losses["d_loss"] = d_loss
+            return new_vq, stats_vars, g_grads, d_grads, losses, idx
+
+        sub0 = jax.tree_util.tree_map(lambda a: a[0], micro)
+        shp = jax.eval_shape(micro_terms, params["vq"], state.disc_vars,
+                             sub0, keys[0])
+        _, _, gg_shp, dg_shp, l_shp, _ = shp
+        zeros = lambda tree: jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+        def body(carry, xs):
+            vq, dvars, ggsum, dgsum, lsum = carry
+            sub, k = xs
+            new_vq, stats_vars, gg, dg, ls, idx = micro_terms(vq, dvars,
+                                                              sub, k)
+            return (new_vq, stats_vars,
+                    jax.tree_util.tree_map(jnp.add, ggsum, gg),
+                    jax.tree_util.tree_map(jnp.add, dgsum, dg),
+                    jax.tree_util.tree_map(jnp.add, lsum, ls)), idx
+
+        (new_vq, stats_vars, ggsum, dgsum, lsum), idx_stack = jax.lax.scan(
+            body, (params["vq"], state.disc_vars, zeros(gg_shp),
+                   zeros(dg_shp), zeros(l_shp)), (micro, keys))
+        g_grads = jax.tree_util.tree_map(lambda x: x / grad_accum, ggsum)
+        d_grads = jax.tree_util.tree_map(lambda x: x / grad_accum, dgsum)
+        aux = jax.tree_util.tree_map(lambda x: x / grad_accum, lsum)
+        idx = idx_stack.reshape((-1,) + idx_stack.shape[2:])
+
+        if axis_name is not None:
+            g_grads = jax.lax.pmean(g_grads, axis_name)
+            d_grads = jax.lax.pmean(d_grads, axis_name)
+            aux = jax.lax.pmean(aux, axis_name)
+            stats_vars = jax.lax.pmean(stats_vars, axis_name)
+        d_updates, opt_d = tx_d.update(d_grads, state.opt_d,
+                                       state.disc_vars["params"])
+        d_params_new = optax.apply_updates(state.disc_vars["params"],
+                                           d_updates)
+        disc_vars = {**stats_vars, "params": d_params_new}
+        g_updates, opt_g = tx_g.update(g_grads, state.opt_g, g_params)
+        g_new = optax.apply_updates(g_params, g_updates)
+        new_state = VQGANState(params={**g_new, "vq": new_vq}, opt_g=opt_g,
+                               disc_vars=disc_vars, opt_d=opt_d,
+                               step=state.step + 1)
+        return new_state, aux, idx
 
     def step_fn(state: VQGANState, batch, rng):
         params = state.params
@@ -282,6 +449,8 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
         aux["d_loss"] = d_loss
         return new_state, aux, idx
 
+    if grad_accum > 1:
+        step_fn = accum_step_fn
     if mesh is not None:
         return _mesh_wrap(step_fn, mesh, axis_name, donate)
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

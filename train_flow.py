@@ -380,6 +380,9 @@ def train_flow(config):
         meanflow_ratio=float(ldcfg(config, "meanflow_ratio", 0.25)),
         meanflow_adaptive_p=float(ldcfg(config, "meanflow_adaptive_p", 0.5)),
         t_scale=t_scale,
+        # flow.grad_accum=G: microbatch gradient accumulation — effective
+        # batch G× beyond activation HBM (training/flow.py docstring)
+        grad_accum=max(int(ldcfg(config, "grad_accum", 1)), 1),
         mesh=step_mesh)
     train_step = make_flow_train_step(train_model_apply, tx,
                                       steps_per_call=steps_per_call,

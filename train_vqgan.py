@@ -139,14 +139,19 @@ def train_vqgan(config):
         step_mesh = mesh if mesh.size > 1 else None
     if step_mesh is not None:
         print(f"multi-chip codec training: shard_map over {mesh.shape}")
+    # codec.grad_accum=G: microbatch gradient accumulation — effective batch
+    # G× beyond activation HBM (training/vqgan.py docstrings)
+    grad_accum = max(int(ldcfg(config, "grad_accum", 1)), 1)
     warmup_step = make_vqgan_warmup_step(codec, tx_g, config, perceptual_fn,
-                                         mesh=step_mesh)
+                                         mesh=step_mesh,
+                                         grad_accum=grad_accum)
     gan_step = make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train,
                                    disc_apply_eval, tx_d, config,
                                    perceptual_fn,
                                    lecam_weight=float(
                                        ldcfg(config, "lecam_weight", 0.0)),
-                                   mesh=step_mesh)
+                                   mesh=step_mesh,
+                                   grad_accum=grad_accum)
     eval_step = make_vqgan_eval_step(codec, config, perceptual_fn)
 
     use_wandb = not no_wandb
