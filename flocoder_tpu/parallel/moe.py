@@ -17,10 +17,14 @@ TPU-first design:
   mesh axis, each shard computes only its E/axis_size experts (a static
   slice by ``lax.axis_index``), and one ``psum`` over ICI combines the
   token outputs — the O(E·C·d·d_ff) expert FLOPs split axis_size ways.
-  The custom_vjp backward differentiates the replicated full-expert math
-  (no collectives), so gradients are value-identical on every shard and
-  the train step's usual pmean is a typing no-op. Backward stays
-  replicated work — the same documented tradeoff as the ring kernel.
+  The custom_vjp backward is expert-parallel too (VERDICT r3 #2): each
+  shard differentiates only its local expert slice, then ONE psum over
+  ICI combines the token-cotangent partials (each expert contributes
+  additively to d_flat) and all_gathers along the expert axis reassemble
+  the expert-sliced gradients (dispatch/combine/weights) — so gradients
+  are full and value-identical on every shard and the train step's usual
+  pmean stays a typing no-op, while the O(E·C·d·d_ff) backward FLOPs
+  split axis_size ways like the forward's.
 """
 from __future__ import annotations
 
@@ -129,10 +133,13 @@ def moe_geglu_replicated(flat: jax.Array, dispatch: jax.Array,
       tensors, runs ``moe_geglu_apply`` on that slice, and ONE ``psum``
       over ICI sums the per-expert partial outputs (each token's output is
       a sum over experts, so the reduction is exact).
-    - backward (custom_vjp): the VJP of the replicated full-expert math —
-      no collectives, gradients full and value-identical on every shard,
-      so the surrounding train step's pmean is a typing no-op (the exact
-      contract of ``ring_attention_replicated``).
+    - backward (custom_vjp): each shard runs the VJP of ITS expert slice
+      only; a psum combines the token cotangents (experts contribute
+      additively to d_flat) and expert-axis all_gathers reassemble the
+      sliced gradients — gradients stay full and value-identical on every
+      shard, so the surrounding train step's pmean is a typing no-op (the
+      exact contract of ``ring_attention_replicated``), with the backward
+      FLOPs split over the axis like the forward's.
 
     Degenerates to ``moe_geglu_apply`` at ``ep_axis_size == 1``. E must be
     divisible by ``ep_axis_size``. Take gradients INSIDE the shard_map.
@@ -162,8 +169,31 @@ def _moe_fwd(flat, dispatch, combine, w_up, w_down, ep_axis, ep_axis_size):
 
 def _moe_bwd(ep_axis, ep_axis_size, res, g):
     flat, dispatch, combine, w_up, w_down = res
-    _, vjp = jax.vjp(moe_geglu_apply, flat, dispatch, combine, w_up, w_down)
-    return vjp(g.astype(flat.dtype))
+    if ep_axis_size == 1:
+        _, vjp = jax.vjp(moe_geglu_apply, flat, dispatch, combine,
+                         w_up, w_down)
+        return vjp(g.astype(flat.dtype))
+    E = w_up.shape[0]
+    e_loc = E // ep_axis_size
+    off = lax.axis_index(ep_axis) * e_loc
+    _, vjp = jax.vjp(
+        moe_geglu_apply, flat,
+        lax.dynamic_slice_in_dim(dispatch, off, e_loc, axis=1),
+        lax.dynamic_slice_in_dim(combine, off, e_loc, axis=1),
+        lax.dynamic_slice_in_dim(w_up, off, e_loc, axis=0),
+        lax.dynamic_slice_in_dim(w_down, off, e_loc, axis=0))
+    # the forward's psum makes every shard's output cotangent the full g;
+    # each local VJP therefore yields this shard's expert-slice gradients
+    d_flat, d_disp_loc, d_comb_loc, d_wu_loc, d_wd_loc = vjp(
+        g.astype(flat.dtype))
+    # experts contribute additively to the token gradient → one psum;
+    # expert-sliced gradients reassemble by all_gather in axis-index order
+    d_flat = lax.psum(d_flat, ep_axis)
+    d_disp = lax.all_gather(d_disp_loc, ep_axis, axis=1, tiled=True)
+    d_comb = lax.all_gather(d_comb_loc, ep_axis, axis=1, tiled=True)
+    d_wu = lax.all_gather(d_wu_loc, ep_axis, axis=0, tiled=True)
+    d_wd = lax.all_gather(d_wd_loc, ep_axis, axis=0, tiled=True)
+    return d_flat, d_disp, d_comb, d_wu, d_wd
 
 
 moe_geglu_replicated.defvjp(_moe_fwd, _moe_bwd)

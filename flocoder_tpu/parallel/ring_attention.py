@@ -37,12 +37,16 @@ __all__ = ["ring_attention_local", "make_ring_self_attention",
 def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array,
                          axis_name: str, axis_size: int,
                          scale: Optional[float] = None,
-                         assume_varying: bool = False) -> jax.Array:
+                         assume_varying: bool = False,
+                         return_lse: bool = False):
     """Exact softmax attention where ``q, k, v`` are the LOCAL sequence
     shards ``(batch, n_local, heads, head_dim)`` of a sequence sharded over
     ``axis_name`` (call inside ``shard_map``). Returns the local output
     shard, identical (up to float associativity) to running full attention
-    on the gathered sequence.
+    on the gathered sequence. With ``return_lse`` also returns the fp32
+    per-query log-sum-exp ``(b, heads, n_local)`` — the softmax statistic
+    the ring backward needs to recover exact probabilities without a
+    second forward ring.
 
     ``axis_size`` must be the static mesh-axis size (ring length). The value
     head_dim may differ from the q/k head_dim (the codec's non-local
@@ -92,10 +96,13 @@ def ring_attention_local(q: jax.Array, k: jax.Array, v: jax.Array,
             return lax.pcast(x, (axis_name,), to="varying")
 
         k, v, m0, l0, acc0 = map(_mark_varying, (k, v, m0, l0, acc0))
-    (_, _, _, l, acc), _ = lax.scan(step, (k, v, m0, l0, acc0), None,
+    (_, _, m, l, acc), _ = lax.scan(step, (k, v, m0, l0, acc0), None,
                                     length=axis_size)
     out = acc / l[..., None]                            # (b, h, n, d)
-    return out.transpose(0, 2, 1, 3).astype(q.dtype)    # (b, n, h, d)
+    out = out.transpose(0, 2, 1, 3).astype(q.dtype)     # (b, n, h, d)
+    if return_lse:
+        return out, m + jnp.log(l)                      # lse: (b, h, n)
+    return out
 
 
 def _plain_attention(q, k, v, scale):
@@ -127,13 +134,19 @@ def ring_attention_replicated(q: jax.Array, k: jax.Array, v: jax.Array,
       while q/k/v themselves stay replicated (their producing 1×1 convs are
       cheap). This is the memory/bandwidth shape that matters when N² no
       longer fits one chip.
-    - backward (custom_vjp): the VJP of the REPLICATED full-attention math —
-      plain einsums, no collectives, so the gradients are full and
-      value-identical on every shard by construction and the surrounding
-      train steps just pmean as usual (vma-typed, parallel.mesh.pmean_typed).
-      The backward is replicated work; splitting it over the ring as well is
-      a further optimization left to the sharded path
-      (``make_ring_self_attention``).
+    - backward (custom_vjp): a ring-parallel flash-style backward (VERDICT
+      r3 #2 — it used to differentiate the replicated math). Each shard
+      computes dQ for its query chunk against the rotating K/V ring; the
+      dK/dV partial accumulators TRAVEL WITH their K/V chunks around the
+      ring (each chunk collects every shard's contribution and arrives home
+      complete after axis_size hops — the same schedule as pipeline.py's
+      ``_pp_bwd`` riding the transposed ppermutes). Exact softmax
+      probabilities are recovered from the forward's saved log-sum-exp, so
+      no recompute ring is needed. Final ``all_gather``s reassemble full
+      gradients value-identical on every shard, preserving the original
+      contract: the surrounding train steps just pmean as usual (vma-typed,
+      parallel.mesh.pmean_typed). The O(N²) backward FLOPs now split
+      axis_size ways like the forward's.
 
     Degenerates to plain attention at ``axis_size == 1``. ``axis_size``
     must divide ``n``. Take gradients INSIDE the shard_map (as the train
@@ -150,15 +163,72 @@ def ring_attention_replicated(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _rar_fwd(q, k, v, axis_name, axis_size, scale):
-    return ring_attention_replicated(q, k, v, axis_name, axis_size,
-                                     scale), (q, k, v)
+    if axis_size == 1:
+        return _plain_attention(q, k, v, scale), (q, k, v, None, None)
+    out_loc, lse_loc = ring_attention_local(
+        _chunk(q, axis_name, axis_size), _chunk(k, axis_name, axis_size),
+        _chunk(v, axis_name, axis_size), axis_name, axis_size, scale,
+        assume_varying=True, return_lse=True)
+    out = lax.all_gather(out_loc, axis_name, axis=1, tiled=True)
+    return out, (q, k, v, out_loc, lse_loc)
 
 
 def _rar_bwd(axis_name, axis_size, scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda a, b, c: _plain_attention(a, b, c, scale),
-                     q, k, v)
-    return vjp(g.astype(q.dtype))
+    q, k, v, out_loc, lse_loc = res
+    if axis_size == 1:
+        _, vjp = jax.vjp(lambda a, b, c: _plain_attention(a, b, c, scale),
+                         q, k, v)
+        return vjp(g.astype(q.dtype))
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    q_loc = _chunk(q, axis_name, axis_size)
+    k_loc = _chunk(k, axis_name, axis_size)
+    v_loc = _chunk(v, axis_name, axis_size)
+    g_loc = _chunk(g, axis_name, axis_size).astype(jnp.float32)  # dO_i
+    qf = q_loc.astype(jnp.float32) * scale
+    # D_i = rowsum(dO_i ∘ O_i) — the softmax-jacobian correction term
+    D = jnp.einsum("bnhd,bnhd->bhn", g_loc, out_loc.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    perm = [(j, (j + 1) % axis_size) for j in range(axis_size)]
+
+    def step(carry, _):
+        k_blk, v_blk, dk_blk, dv_blk, dq_acc = carry
+        kf = k_blk.astype(jnp.float32)
+        sim = jnp.einsum("bnhd,bmhd->bhnm", qf, kf,
+                         preferred_element_type=jnp.float32)
+        # exact softmax probabilities from the saved forward statistics
+        p = jnp.exp(sim - lse_loc[..., None])            # (b, h, n, m)
+        dv_blk = dv_blk + jnp.einsum("bhnm,bnhd->bmhd", p, g_loc,
+                                     preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bnhd,bmhd->bhnm", g_loc, v_blk.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - D[..., None])                     # (b, h, n, m)
+        dq_acc = dq_acc + jnp.einsum("bhnm,bmhd->bnhd", ds, kf,
+                                     preferred_element_type=jnp.float32)
+        dk_blk = dk_blk + jnp.einsum("bhnm,bnhd->bmhd", ds, qf,
+                                     preferred_element_type=jnp.float32)
+        k_blk = lax.ppermute(k_blk, axis_name, perm)
+        v_blk = lax.ppermute(v_blk, axis_name, perm)
+        dk_blk = lax.ppermute(dk_blk, axis_name, perm)
+        dv_blk = lax.ppermute(dv_blk, axis_name, perm)
+        return (k_blk, v_blk, dk_blk, dv_blk, dq_acc), None
+
+    # zero accumulators inherit the ring axis's varying type arithmetically
+    # from the chunked k (same trick as ring_attention_local's carries)
+    vzero = (k_loc[(0,) * k_loc.ndim] * 0).astype(jnp.float32)
+    dk0 = jnp.zeros(k_loc.shape, jnp.float32) + vzero
+    dv0 = jnp.zeros(v_loc.shape, jnp.float32) + vzero
+    dq0 = jnp.zeros(q_loc.shape, jnp.float32) + vzero
+    (_, _, dk_loc, dv_loc, dq_loc), _ = lax.scan(
+        step, (k_loc, v_loc, dk0, dv0, dq0), None, length=axis_size)
+    # after axis_size process+permute hops each dK/dV chunk is home on its
+    # owner shard, complete; all_gather → full gradients, value-identical
+    # on every shard (the replicated-gradient contract)
+    dq = lax.all_gather(dq_loc * scale, axis_name, axis=1, tiled=True)
+    dk = lax.all_gather(dk_loc, axis_name, axis=1, tiled=True)
+    dv = lax.all_gather(dv_loc, axis_name, axis=1, tiled=True)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 ring_attention_replicated.defvjp(_rar_fwd, _rar_bwd)

@@ -356,7 +356,14 @@ def make_vqgan_gan_step(codec, tx_g, disc, disc_apply_train, disc_apply_eval,
             g_grads = jax.lax.pmean(g_grads, axis_name)
             d_grads = jax.lax.pmean(d_grads, axis_name)
             aux = jax.lax.pmean(aux, axis_name)
-            stats_vars = jax.lax.pmean(stats_vars, axis_name)
+            # pmean only the mutated stats collections (SN power-iteration
+            # vectors), mirroring the baseline step's new_disc_vars
+            # handling — the 'params' entry is replicated and replaced
+            # below, so all-reducing every D weight per step would be a
+            # pure ICI cost for a value no-op (ADVICE r3)
+            stats_vars = {**stats_vars, **jax.lax.pmean(
+                {k: v for k, v in stats_vars.items() if k != "params"},
+                axis_name)}
         d_updates, opt_d = tx_d.update(d_grads, state.opt_d,
                                        state.disc_vars["params"])
         d_params_new = optax.apply_updates(state.disc_vars["params"],

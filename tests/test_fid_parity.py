@@ -6,6 +6,8 @@ Reference: flocoder/metrics.py:265-308 (torchmetrics
 FrechetInceptionDistance(feature=2048) — scipy-sqrtm / eigenvalue Gaussian
 Fréchet formula on InceptionV3 pool3 features).
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -139,6 +141,54 @@ def test_fid_score_inception_backend_exercised():
     val = float(fid_score(jnp.asarray(real), jnp.asarray(fake),
                           feature_fn=fn))
     assert np.isfinite(val) and val >= 0
+
+
+def test_rp_projection_pinned_across_machines():
+    """VERDICT r3 #4a: the rp2048 projection is drawn from numpy Philox
+    (stream-stable across numpy versions/platforms) — pin its checksum so
+    rp-backend FIDs stay comparable across rounds and machines."""
+    from flocoder_tpu.ops.fid import _projection_matrix
+    W = np.asarray(_projection_matrix(252, 2048, 0))  # C=3 flat dim
+    assert W.shape == (252, 2048)
+    assert float(W.sum()) == pytest.approx(-3.1959626, abs=1e-4)
+    assert float(np.abs(W).sum()) == pytest.approx(25929.716, abs=0.1)
+    assert float(W[0, 0]) == pytest.approx(-0.01297514, abs=1e-7)
+    assert float(W[-1, -1]) == pytest.approx(0.01977510, abs=1e-7)
+
+
+def test_self_fid_sanity_suite():
+    """VERDICT r3 #4b: FID(X, X) ≈ 0 with the rp backend, and FID grows
+    monotonically with the noise level separating the two batches."""
+    from flocoder_tpu.ops.fid import make_random_projection_features
+    fn = make_random_projection_features(image_size=32)
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(np.clip(rng.standard_normal((64, 32, 32, 3)) * 0.4,
+                            -1, 1), jnp.float32)
+    self_fid = float(fid_score(X, X, feature_fn=fn))
+    assert abs(self_fid) < 1e-3, self_fid
+    vals = []
+    for sigma in (0.05, 0.15, 0.4):
+        noisy = jnp.clip(X + sigma * jnp.asarray(
+            rng.standard_normal(X.shape), jnp.float32), -1, 1)
+        vals.append(float(fid_score(X, noisy, feature_fn=fn)))
+    assert vals[0] < vals[1] < vals[2], vals
+    assert all(np.isfinite(v) and v >= 0 for v in vals)
+
+
+def test_converter_verify_only_entrypoint():
+    """tools/convert_all_weights.py --verify-only exists and routes to the
+    parity suites (VERDICT r3 #4c) — checked without spawning the heavy
+    subprocess run."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "convert_all_weights",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "convert_all_weights.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.verify_only)
+    assert set(mod.CONVERTERS) == {"sd_vae", "vgg16", "resnet50",
+                                   "fid_inception"}
 
 
 def test_backend_stamp_helpers():

@@ -122,6 +122,51 @@ def test_ep_replicated_matches_single_device_fwd_and_grads():
                                    rtol=1e-4, atol=1e-5)
 
 
+def _moe_grad_flops(n_model):
+    """Per-device FLOPs (XLA cost analysis) of the compiled fwd+bwd EP
+    executable at axis size ``n_model`` on a fixed total problem."""
+    from flocoder_tpu.parallel.mesh import P, make_mesh, pmean_typed, shard_map
+
+    mesh = make_mesh(n_data=1, n_model=n_model)
+    rng = np.random.default_rng(6)
+    T, E, K, d, f = 256, 8, 2, 64, 256
+    flat = jnp.asarray(rng.standard_normal((T, d)), jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((T, E)), jnp.float32)
+    w_up = jnp.asarray(rng.standard_normal((E, d, 2 * f)) * 0.1, jnp.float32)
+    w_down = jnp.asarray(rng.standard_normal((E, f, d)) * 0.1, jnp.float32)
+    dispatch, combine, _ = moe_routing(logits, K, moe_capacity(T, E, K, 1.5))
+
+    def body(fl, disp, comb, wu_, wd_):
+        def loss_fn(fl_, wu, wd):
+            return jnp.sum(moe_geglu_replicated(
+                fl_, disp, comb, wu, wd, "model", n_model) ** 2)
+        grads = jax.grad(loss_fn, argnums=(0, 1, 2))(fl, wu_, wd_)
+        return pmean_typed(grads, ("model",))
+
+    f_sh = jax.jit(shard_map(body, mesh=mesh,
+                             in_specs=(P(), P(), P(), P(), P()),
+                             out_specs=(P(), P(), P()), check_rep=False))
+    cost = f_sh.lower(flat, dispatch, combine, w_up,
+                      w_down).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return float(dict(cost or {}).get("flops", -1.0))
+
+
+def test_moe_backward_flops_split_over_axis():
+    """VERDICT r3 #2 done-criterion: the fwd+bwd EP executable's per-shard
+    FLOPs drop ~1/S — the backward slices experts, not replicated math."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 virtual devices")
+    f1 = _moe_grad_flops(1)
+    if f1 <= 0:
+        pytest.skip("backend reports no cost analysis")
+    f2, f4 = _moe_grad_flops(2), _moe_grad_flops(4)
+    # expert matmuls dominate at d=64, d_ff=256; allow dispatch overhead
+    assert f2 < 0.65 * f1, (f1, f2)
+    assert f4 < 0.40 * f1, (f1, f4)
+
+
 def _tiny_moe_hdit(ep_axis=None, ep_axis_size=1, n_experts=4):
     from flocoder_tpu.models.hdit import (GlobalAttentionSpec, HDiT,
                                           LevelSpec, MappingSpec)

@@ -134,6 +134,47 @@ def test_ring_attention_replicated_fwd_and_grads():
                                    rtol=5e-4, atol=5e-5)
 
 
+def _ring_grad_flops(n_model):
+    """Per-device FLOPs (XLA cost analysis) of the compiled fwd+bwd ring
+    executable at ring size ``n_model`` on a fixed total problem."""
+    from flocoder_tpu.parallel.mesh import shard_map, P, pmean_typed
+    from flocoder_tpu.parallel.ring_attention import ring_attention_replicated
+
+    mesh = make_mesh(n_data=1, n_model=n_model)
+    B, N, H, D = 1, 256, 2, 16
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.float32)
+               for _ in range(3))
+
+    def body(q_, k_, v_):
+        def loss(a, b_, c):
+            return jnp.sum(ring_attention_replicated(
+                a, b_, c, "model", n_model, None) ** 2)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q_, k_, v_)
+        return pmean_typed(grads, ("model",))
+
+    f = jax.jit(shard_map(body, mesh=mesh, in_specs=(P(), P(), P()),
+                          out_specs=(P(), P(), P()), check_rep=False))
+    cost = f.lower(q, k, v).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return float(dict(cost or {}).get("flops", -1.0))
+
+
+def test_ring_backward_flops_split_over_axis():
+    """VERDICT r3 #2 done-criterion: the fwd+bwd executable's per-shard
+    FLOPs drop ~1/S — the backward is ring-parallel, not replicated."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 virtual devices")
+    f1 = _ring_grad_flops(1)
+    if f1 <= 0:
+        pytest.skip("backend reports no cost analysis")
+    f2, f4 = _ring_grad_flops(2), _ring_grad_flops(4)
+    # O(N²) terms dominate at N=256, D=16; allow overhead slack
+    assert f2 < 0.65 * f1, (f1, f2)
+    assert f4 < 0.40 * f1, (f1, f4)
+
+
 def test_unet_ring_bottleneck_matches_plain():
     """Unet(ring_axis='model') under a ('data','model') shard_map produces
     the same output as the ring-free twin on the same params (VERDICT r2

