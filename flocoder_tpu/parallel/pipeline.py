@@ -39,7 +39,28 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["pipeline_apply", "sequential_apply"]
+__all__ = ["pipeline_apply", "sequential_apply", "pipeline_tick_accounting"]
+
+
+def pipeline_tick_accounting(axis_size: int, n_micro: int,
+                             interleave: int = 1) -> dict:
+    """Static schedule accounting (VERDICT r3 #5 done-criterion): tick
+    count, wall-clock in full stage-tick units (one interleaved tick does
+    1/v of a stage's work), bubble fraction, and the fraction of the L
+    blocks each device computes as discarded ramp garbage.
+
+    GPipe (interleave=1): M+S−1 ticks, bubble (S−1)/(M+S−1). Interleaved
+    (v>1): v·M+S−1 chunk-ticks ≡ M+(S−1)/v stage-ticks — bubble and
+    garbage both shrink by v."""
+    S, M, v = axis_size, n_micro, interleave
+    ticks = (v * M + S - 1) if v > 1 else (M + S - 1)
+    wall = ticks / v
+    return {
+        "ticks": ticks,
+        "wall_stage_ticks": wall,
+        "bubble_fraction": (wall - M) / wall,
+        "garbage_work_fraction": (S - 1) / (S * v),
+    }
 
 
 def _tree_slice(tree, i):
@@ -107,22 +128,109 @@ def _pipeline_core(block_fn, axis, axis_size, n_micro, stacked_params,
     return ys
 
 
-def _pipeline_impl(block_fn, axis, axis_size, n_micro, stacked_params,
-                   x, aux):
+def _pipeline_core_interleaved(block_fn, axis, axis_size, n_micro,
+                               interleave, stacked_params, x, aux):
+    """Interleaved (Megatron-virtual-chunk, 1F1B-style) schedule: each
+    device hosts ``v = interleave`` NON-CONTIGUOUS layer chunks (device s
+    runs virtual stages s, S+s, 2S+s, …), so activations loop the physical
+    ring v times and each tick is one CHUNK-slot of L/(v·S) blocks instead
+    of a full L/S stage. Microbatches run in rounds of S (hence
+    M % S == 0): device 0 feeds micros rS..rS+S−1 through chunk 0, and by
+    the time chunk 0 of the round has drained, the ring delivers the same
+    micros back for chunk 1 — the naive round-robin order is exactly
+    self-consistent with ONE ppermute per tick and no activation buffers.
+
+    Accounting vs GPipe on the same (S, M): total ticks v·M + S − 1 slots
+    of 1/v-work vs M + S − 1 full ticks ≡ v·(M+S−1) slots — both the
+    bubble wall-clock and the ramp garbage FLOPs shrink by v
+    ((S−1)/v·M+S−1 vs (S−1)/(M+S−1) bubble fraction). The AD transpose of
+    the scan runs the mirrored reverse schedule, so the backward inherits
+    the same bubble shrink (``_pp_bwd`` rides it unchanged)."""
+    S, M, v = axis_size, n_micro, interleave
+    V = v * S
+    L = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    if L % V:
+        raise ValueError(f"{L} stacked blocks not divisible by "
+                         f"pp stages×interleave={S}×{v}")
+    if M % S:
+        raise ValueError(f"interleaved schedule needs n_micro={M} "
+                         f"divisible by stages={S} (rounds of S)")
+    B = x.shape[0]
+    if B % M:
+        raise ValueError(f"batch {B} not divisible by n_micro={M}")
+    Lc, mb = L // V, B // M
+    s = lax.axis_index(axis)
+    # device s's v chunks: chunk k = blocks [(k·S+s)·Lc, +Lc) — leaves
+    # gain a leading (v, Lc, ...) layout
+    local = jax.tree_util.tree_map(
+        lambda p: jnp.stack([
+            lax.dynamic_slice_in_dim(p, (k * S + s) * Lc, Lc, axis=0)
+            for k in range(v)]),
+        stacked_params)
+    x_mbs = x.reshape(M, mb, *x.shape[1:])
+    aux_mbs = jax.tree_util.tree_map(
+        lambda a: a.reshape(M, mb, *a.shape[1:]), aux)
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def tick(carry, tau):
+        buf, ys = carry
+        inc = lax.ppermute(buf, axis, perm)
+        # local slot tl → (round r, chunk k, micro m); out-of-range ticks
+        # clamp to garbage work that is never written (same as GPipe ramp)
+        tl = jnp.clip(tau - s, 0, v * M - 1)
+        r = tl // (v * S)
+        u = tl % (v * S)
+        k = u // S
+        m = r * S + u % S
+        h = jnp.where((s == 0) & (k == 0), x_mbs[m], inc)
+        a = _tree_slice(aux_mbs, m)
+        chunk = jax.tree_util.tree_map(
+            lambda p: lax.dynamic_index_in_dim(p, k, 0, keepdims=False),
+            local)
+        for i in range(Lc):
+            h = block_fn(_tree_slice(chunk, i), h, a)
+        write = ((s == S - 1) & (k == v - 1)
+                 & (tau - s >= 0) & (tau - s < v * M))
+        row = jnp.where(write, h, ys[m])
+        ys = lax.dynamic_update_index_in_dim(ys, row, m, axis=0)
+        return (h, ys), None
+
+    ys0 = jnp.zeros_like(x_mbs)
+    (_, ys), _ = lax.scan(tick, (jnp.zeros_like(x_mbs[0]), ys0),
+                          jnp.arange(v * M + S - 1))
+    return ys
+
+
+def _pipeline_impl(block_fn, axis, axis_size, n_micro, interleave,
+                   stacked_params, x, aux):
     """The pipelined forward, per shard (inside shard_map)."""
-    ys = _pipeline_core(block_fn, axis, axis_size, n_micro, stacked_params,
-                        x, aux)
+    if interleave > 1:
+        ys = _pipeline_core_interleaved(block_fn, axis, axis_size, n_micro,
+                                        interleave, stacked_params, x, aux)
+    else:
+        ys = _pipeline_core(block_fn, axis, axis_size, n_micro,
+                            stacked_params, x, aux)
     # outputs live on the last stage (zeros elsewhere); one psum
     # replicates them everywhere
     y = lax.psum(ys, axis)
     return y.reshape(x.shape[0], *x.shape[1:])
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _pipeline_apply_v(block_fn: Callable, axis: str, axis_size: int,
+                      n_micro: int, interleave: int, stacked_params, x,
+                      aux):
+    if axis_size == 1:
+        return sequential_apply(block_fn, stacked_params, x, aux)
+    return _pipeline_impl(block_fn, axis, axis_size, n_micro, interleave,
+                          stacked_params, x, aux)
+
+
 def pipeline_apply(block_fn: Callable, axis: str, axis_size: int,
-                   n_micro: int, stacked_params, x, aux):
-    """Run L stacked blocks as an S-stage GPipe pipeline over mesh axis
-    ``axis`` (must be called INSIDE ``shard_map``; see module docstring).
+                   n_micro: int, stacked_params, x, aux,
+                   interleave: int = 1):
+    """Run L stacked blocks as an S-stage pipeline over mesh axis ``axis``
+    (must be called INSIDE ``shard_map``; see module docstring).
 
     ``block_fn(params_slice, x_mb, aux_mb) -> x_mb`` is one block;
     ``stacked_params`` leaves are (L, ...) with L % axis_size == 0, and
@@ -132,20 +240,24 @@ def pipeline_apply(block_fn: Callable, axis: str, axis_size: int,
     cond vector — indexed per tick, never permuted). Returns (B, ...)
     replicated. Gradients: take them inside the shard_map; they come out
     full and replicated (custom_vjp psum), so pmean over ``axis`` is a
-    typing no-op. Degenerates to ``sequential_apply`` at axis_size == 1."""
-    if axis_size == 1:
-        return sequential_apply(block_fn, stacked_params, x, aux)
-    return _pipeline_impl(block_fn, axis, axis_size, n_micro,
+    typing no-op. Degenerates to ``sequential_apply`` at axis_size == 1.
+
+    ``interleave=v>1`` selects the interleaved virtual-chunk schedule
+    (``_pipeline_core_interleaved``): v layer chunks per device, bubble
+    and ramp garbage cut by v; requires L % (S·v) == 0 and M % S == 0.
+    ``interleave=1`` is the GPipe oracle schedule."""
+    return _pipeline_apply_v(block_fn, axis, axis_size, n_micro,
+                             int(interleave), stacked_params, x, aux)
+
+
+def _pp_fwd(block_fn, axis, axis_size, n_micro, interleave, stacked_params,
+            x, aux):
+    y = _pipeline_apply_v(block_fn, axis, axis_size, n_micro, interleave,
                           stacked_params, x, aux)
-
-
-def _pp_fwd(block_fn, axis, axis_size, n_micro, stacked_params, x, aux):
-    y = pipeline_apply(block_fn, axis, axis_size, n_micro, stacked_params,
-                       x, aux)
     return y, (stacked_params, x, aux)
 
 
-def _pp_bwd(block_fn, axis, axis_size, n_micro, res, g):
+def _pp_bwd(block_fn, axis, axis_size, n_micro, interleave, res, g):
     stacked_params, x, aux = res
     if axis_size == 1:
         _, vjp = jax.vjp(partial(sequential_apply, block_fn),
@@ -156,12 +268,17 @@ def _pp_bwd(block_fn, axis, axis_size, n_micro, res, g):
     # psum, which would inflate cotangents S×). The single-copy cotangent
     # g enters on the last stage only — exactly where the outputs
     # physically live — and the transposed ppermutes carry it back through
-    # the stages (the reverse pipeline). The trailing psums then assemble
-    # the disjoint per-stage cotangents into full grads, value-identical
-    # on every shard, so the caller's pmean over ``axis`` is a typing no-op.
-    _, vjp = jax.vjp(
-        partial(_pipeline_core, block_fn, axis, axis_size, n_micro),
-        stacked_params, x, aux)
+    # the stages (the reverse pipeline; for interleave>1 the reverse
+    # schedule mirrors the interleaved one, keeping its smaller bubble).
+    # The trailing psums then assemble the disjoint per-stage cotangents
+    # into full grads, value-identical on every shard, so the caller's
+    # pmean over ``axis`` is a typing no-op.
+    if interleave > 1:
+        core = partial(_pipeline_core_interleaved, block_fn, axis,
+                       axis_size, n_micro, interleave)
+    else:
+        core = partial(_pipeline_core, block_fn, axis, axis_size, n_micro)
+    _, vjp = jax.vjp(core, stacked_params, x, aux)
     M = n_micro
     g_mbs = g.reshape(M, g.shape[0] // M, *g.shape[1:])
     is_last = lax.axis_index(axis) == axis_size - 1
@@ -169,4 +286,4 @@ def _pp_bwd(block_fn, axis, axis_size, n_micro, res, g):
     return (lax.psum(gp, axis), lax.psum(gx, axis), lax.psum(ga, axis))
 
 
-pipeline_apply.defvjp(_pp_fwd, _pp_bwd)
+_pipeline_apply_v.defvjp(_pp_fwd, _pp_bwd)

@@ -199,3 +199,57 @@ def test_vqgan_gan_grad_accum_runs_and_updates_both():
             jax.tree_util.tree_leaves(old), jax.tree_util.tree_leaves(new)))
         assert delta > 0, f"{name} params did not update"
     assert int(new_state.step) == 1
+
+
+def test_vqgan_gan_grad_accum_trajectory_divergence_bounded():
+    """VERDICT r3 #8: quantify the documented grad-accum GAN divergence —
+    at G>1 the G step sees the PRE-update D within each microbatch scan
+    (simultaneous-update semantics, training/vqgan.py docstring), while at
+    G=1 the G step sees the just-updated D (the reference's alternating
+    order, train_vqgan.py:213-246).
+
+    Measured here on the toy 16² GAN config, 24 steps on identical batch
+    sequences, G=1 vs G=4: the G/total and D loss trajectories track
+    within a bounded band (tail-mean relative divergence, see asserts) and
+    neither run collapses — the divergence is a bounded training-dynamics
+    perturbation at this scale, not an instability. The band doubles as a
+    regression bound for future step rewrites."""
+    from flocoder_tpu.models.discriminator import (
+        VQGANPlusPatchDiscriminator, init_discriminator, make_disc_apply)
+    from flocoder_tpu.training.vqgan import (create_vqgan_state,
+                                             make_vqgan_optimizers,
+                                             make_vqgan_gan_step)
+    cfg, codec, params, _ = _small_codec_setup(B=8)
+    rng = np.random.default_rng(7)
+    batches = [jnp.asarray(rng.standard_normal((8, 16, 16, 3))
+                           .astype(np.float32) * 0.5) for _ in range(24)]
+    traj = {}
+    for G in (1, 4):
+        disc = VQGANPlusPatchDiscriminator(in_channels=3)
+        disc_vars = init_discriminator(disc, jax.random.PRNGKey(1),
+                                       jnp.zeros((2, 16, 16, 3)))
+        tx_g, tx_d = make_vqgan_optimizers(1e-3, d_lr_scale=1.0)
+        state = create_vqgan_state(params, tx_g, disc_vars, tx_d)
+        step = make_vqgan_gan_step(
+            codec, tx_g, disc, make_disc_apply(disc, update_stats=True),
+            make_disc_apply(disc, update_stats=False), tx_d, cfg, None,
+            grad_accum=G, donate=False)
+        totals, d_losses = [], []
+        for s, x in enumerate(batches):
+            state, aux, _ = step(state, x, jax.random.PRNGKey(100 + s))
+            totals.append(float(aux["total"]))
+            d_losses.append(float(aux["d_loss"]))
+        traj[G] = (np.asarray(totals), np.asarray(d_losses))
+        assert np.isfinite(traj[G][0]).all() and np.isfinite(traj[G][1]).all()
+    tail = slice(-8, None)
+    g_div = abs(traj[4][0][tail].mean() - traj[1][0][tail].mean()) / (
+        abs(traj[1][0][tail].mean()) + 1e-6)
+    d_div = abs(traj[4][1][tail].mean() - traj[1][1][tail].mean()) / (
+        abs(traj[1][1][tail].mean()) + 1e-6)
+    # measured divergences are small at this scale; the bounds leave slack
+    # for platform noise while still catching a dynamics regression
+    assert g_div < 0.25, (g_div, traj[1][0][tail], traj[4][0][tail])
+    assert d_div < 0.60, (d_div, traj[1][1][tail], traj[4][1][tail])
+    # neither run collapsed: hinge D loss stays within its healthy range
+    for G in (1, 4):
+        assert 0.0 < traj[G][1][tail].mean() < 2.5, (G, traj[G][1])
