@@ -47,7 +47,14 @@ import numpy as np
 BASELINE_SAMPLES_PER_SEC = 1050.0  # reference Colab GPU (BASELINE.md row 2)
 
 _START = time.monotonic()
-_BUDGET_S = float(os.environ.get("FC_BENCH_BUDGET_S", "780"))
+# Budget note: compiles on this host are ~4-7 min per big leg and the
+# persistent XLA cache does NOT shortcut reruns on the axon backend
+# (measured 2026-08-20: flow_train 389 s fresh AND warm) — so the default
+# tier costs ~25-35 min wall regardless of caching. Because the result
+# line is re-emitted after EVERY leg, an external kill records exactly the
+# same completed legs as a budget skip — the budget exists to leave a
+# clean "skipped_legs" trail when time runs long, not to beat the clock.
+_BUDGET_S = float(os.environ.get("FC_BENCH_BUDGET_S", "1500"))
 
 # Cross-retry state: completed legs keep their results so a retry after a
 # tunnel flake resumes instead of recompiling everything (VERDICT r3 #1c).
@@ -263,13 +270,26 @@ def _bench_flow_train(dtype=None, B: int = 256, K: int = 60,
         "target": rng.standard_normal((K, B, H, H, C)).astype(np.float32),
         "class_cond": rng.integers(0, n_classes, (K, B)).astype(np.int32),
     }, axis=1)
-    cost = _cost_of(step, state, batch, jax.random.PRNGKey(0))
+    # AOT-compile ONCE and execute the compiled object directly: on the
+    # 1-core host the XLA:TPU compile of this step costs minutes, and the
+    # old separate cost_analysis lowering + traced-call compile paid it
+    # TWICE per dtype (the round-3/round-4 fresh-cache blowup).
+    compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0] if c else {}
+        cost = dict(c) if c else {}
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        cost = {}
+    step = compiled
     flops_per_step = float(cost.get("flops", -1.0))
     # the executable runs K optimizer steps → per-step figures
     flops_per_step = flops_per_step / K if flops_per_step > 0 else None
     bytes_per_step = float(cost.get("bytes accessed", -1.0))
     bytes_per_step = bytes_per_step / K if bytes_per_step > 0 else None
-    state, aux = step(state, batch, jax.random.PRNGKey(0))  # compile
+    state, aux = step(state, batch, jax.random.PRNGKey(0))  # warm load
     float(aux["loss"])
     # trial 0 is sacrificial: absorbs the one-time ~30-40 s program load
     # the warmup fetch does not force (docs/BENCH_NOTES.md timing trap)
@@ -539,12 +559,23 @@ def _bench_vqgan_gan_step(dtype=None, tuned=False):
     # hardware RngBitGenerator (utils/rng.make_training_key semantics)
     mk = ((lambda s: jax.random.key(s, impl="rbg")) if tuned
           else jax.random.PRNGKey)
-    cost = _cost_of(step, state, x, mk(3))
+    # AOT-compile once, reuse for cost analysis AND execution (see
+    # _bench_flow_train — avoids paying the minutes-long compile twice)
+    compiled = step.lower(state, x, mk(3)).compile()
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0] if c else {}
+        cost = dict(c) if c else {}
+    except Exception as e:  # noqa: BLE001
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        cost = {}
+    step = compiled
     flops = float(cost.get("flops", -1.0))
     flops = flops if flops > 0 else None
     nbytes = float(cost.get("bytes accessed", -1.0))
     nbytes = nbytes if nbytes > 0 else None
-    state, aux, _ = step(state, x, mk(3))  # compile+init
+    state, aux, _ = step(state, x, mk(3))  # warm load
     float(aux["total"])
     times = []
     for trial in range(4):
@@ -634,15 +665,15 @@ def _run():
         else dict(B=B_flow)
 
     def headline():
-        sps_fp32, flops_fp32, bytes_fp32 = _bench_flow_train(jnp.float32,
-                                                             **size)
+        # bf16 is the headline dtype (it has won the step every round —
+        # docs/BENCH_NOTES.md); fp32 runs as its own leg right after so
+        # the first emitted line lands after ONE big compile, not two.
         sps_bf16, flops_bf16, bytes_bf16 = _bench_flow_train(jnp.bfloat16,
                                                              **size)
-        _HEADLINE["value"] = max(sps_fp32, sps_bf16)
+        _HEADLINE["value"] = sps_bf16
         out = {
             "chip": chip,
             "peak_bf16_tflops": round(peak / 1e12, 1),
-            "flow_train_fp32_samples_per_sec": round(sps_fp32, 1),
             "flow_train_bf16_samples_per_sec": round(sps_bf16, 1),
         }
         # FLOP/MFU accounting (VERDICT r2 #3): XLA-counted FLOPs per
@@ -651,29 +682,36 @@ def _run():
         # GAN step is the utilization-bearing workload. The roofline
         # counterpart: the dim=16 step moves far more bytes than it
         # computes, so HBM-bandwidth utilization is its honest ceiling.
-        if flops_fp32:
-            out["flow_train_fp32_mfu_pct"] = _mfu_pct(
-                flops_fp32, sps_fp32 / B_flow, peak)
-            out["flow_train_fp32_gflops_per_step"] = round(
-                flops_fp32 / 1e9, 2)
         if flops_bf16:
             out["flow_train_bf16_mfu_pct"] = _mfu_pct(
                 flops_bf16, sps_bf16 / B_flow, peak)
+            out["flow_train_bf16_gflops_per_step"] = round(
+                flops_bf16 / 1e9, 2)
         if bytes_bf16:
             out["flow_train_bf16_hbm_util_pct"] = _mfu_pct(
                 bytes_bf16, sps_bf16 / B_flow, hbm_bw)
             out["flow_train_bf16_gbytes_per_step"] = round(
                 bytes_bf16 / 1e9, 3)
-        if bytes_fp32:
-            out["flow_train_fp32_hbm_util_pct"] = _mfu_pct(
-                bytes_fp32, sps_fp32 / B_flow, hbm_bw)
         if smoke:
             out["smoke"] = True
         return out
 
-    _leg("flow_train", headline, required=True)
+    def flow_fp32():
+        sps, flops, nbytes = _bench_flow_train(jnp.float32, **size)
+        if sps > _HEADLINE["value"]:
+            _HEADLINE["value"] = sps
+        out = {"flow_train_fp32_samples_per_sec": round(sps, 1)}
+        if flops:
+            out["flow_train_fp32_mfu_pct"] = _mfu_pct(flops, sps / B_flow,
+                                                      peak)
+        if nbytes:
+            out["flow_train_fp32_hbm_util_pct"] = _mfu_pct(
+                nbytes, sps / B_flow, hbm_bw)
+        return out
 
+    _leg("flow_train", headline, required=True)
     if smoke:
+        _leg("flow_train_fp32", flow_fp32)
         return
 
     def gan_step():
@@ -745,12 +783,14 @@ def _run():
         return out
 
     # Default tier: most-important-first so a budget/timeout cut loses the
-    # least; every completed leg re-emits the result line.
+    # least; every completed leg re-emits the result line. The fp32
+    # comparison row runs LAST — it is the least informative big compile.
     _leg("gan_step", gan_step)
     _leg("sampler_bf16", sampler_bf16)
     _leg("preencode", _bench_preencode)
     _leg("hdit", hdit_row)
     _leg("gan_step_tuned", gan_step_tuned)
+    _leg("flow_train_fp32", flow_fp32)
 
     if full:
         _leg("sampler_fp32", lambda: _bench_sampler(jnp.float32, "fp32"))
