@@ -233,11 +233,14 @@ def plot_zq_3d_scatter(tracker: CodebookUsageTracker, vq_state, epoch: int,
                        output_dir: str = "./", use_wandb: bool = True):
     """Categorical 3-D scatter of composed quantized vectors for the first
     two tracked datasets, overlaps in purple (reference:
-    codebook_analysis.py:237-290 — plotly there, matplotlib 3-D here since
-    plotly is not installed)."""
+    codebook_analysis.py:237-290 — plotly there; here a static matplotlib
+    3-D PNG plus a dependency-free INTERACTIVE .html twin
+    (utils/interactive_scatter.py: drag-rotate/zoom/hover, no plotly
+    needed), closing the interactive-widget gap)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    from .interactive_scatter import export_scatter3d_html
 
     names = sorted(tracker.counts)[:2]
     if len(names) < 2 or np.asarray(vq_state.codebooks).shape[-1] < 3:
@@ -248,6 +251,7 @@ def plot_zq_3d_scatter(tracker: CodebookUsageTracker, vq_state, epoch: int,
     both = (m1 > 0) & (m2 > 0)
     fig = plt.figure(figsize=(7, 7))
     ax = fig.add_subplot(projection="3d")
+    html_traces = []
     for mat, color, label in ((np.where(both, 0, m1), "blue", names[0]),
                               (np.where(both, 0, m2), "red", names[1]),
                               (both.astype(int), "purple", "Both")):
@@ -255,6 +259,11 @@ def plot_zq_3d_scatter(tracker: CodebookUsageTracker, vq_state, epoch: int,
         if len(pts):
             ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=color, s=10,
                        alpha=0.6, label=label)
+            html_traces.append({"name": label, "points": pts,
+                                "color": color})
+    export_scatter3d_html(
+        os.path.join(output_dir, f"zq_3d_scatter_epoch{epoch}.html"),
+        html_traces, title=f"Quantized vectors (epoch {epoch})")
     ax.set_title(f"Quantized Vectors in 3D Space (Epoch {epoch})")
     ax.set_xlabel("Embedding Dim 0")
     ax.set_ylabel("Embedding Dim 1")
@@ -274,10 +283,12 @@ def plot_zq_3d_frequency_scatter(tracker: CodebookUsageTracker, vq_state,
                                  use_wandb: bool = True,
                                  use_log: bool = True):
     """Frequency-colored 3-D scatter of one dataset's composed vectors
-    (reference: codebook_analysis.py:292-333)."""
+    (reference: codebook_analysis.py:292-333; static PNG + interactive
+    dependency-free .html twin, see plot_zq_3d_scatter)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    from .interactive_scatter import export_scatter3d_html
 
     if np.asarray(vq_state.codebooks).shape[-1] < 3:
         return None
@@ -287,6 +298,13 @@ def plot_zq_3d_frequency_scatter(tracker: CodebookUsageTracker, vq_state,
         return None
     os.makedirs(output_dir, exist_ok=True)
     cvals = np.log10(1 + counts) if use_log else counts
+    export_scatter3d_html(
+        os.path.join(output_dir,
+                     f"zq_3d_freq_{name}{'_log' if use_log else ''}"
+                     f"_epoch{epoch}.html"),
+        [{"name": name, "points": pts, "values": cvals,
+          "labels": [f"count: {int(c)}" for c in counts]}],
+        title=f"{name} combo frequency (epoch {epoch})")
     fig = plt.figure(figsize=(7, 7))
     ax = fig.add_subplot(projection="3d")
     sc = ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=cvals, s=12,

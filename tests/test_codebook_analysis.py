@@ -70,3 +70,31 @@ def test_scatter_skips_low_dim_embeddings(tmp_path):
     t = _tracker()
     vq = rvq_init(jax.random.PRNGKey(0), 3, 8, 2)  # D=2 < 3
     assert plot_zq_3d_scatter(t, vq, 0, str(tmp_path), False) is None
+
+
+def test_interactive_html_twins_written(tmp_path):
+    """The dependency-free interactive .html twin (reference plotly-widget
+    parity, utils/interactive_scatter.py) is written next to each static
+    3-D scatter PNG and embeds the point data + canvas renderer."""
+    t = _tracker()
+    vq = rvq_init(jax.random.PRNGKey(0), 3, 8, 4)
+    plot_zq_3d_scatter(t, vq, epoch=3, output_dir=str(tmp_path),
+                       use_wandb=False)
+    plot_zq_3d_frequency_scatter(t, vq, "train", epoch=3,
+                                 output_dir=str(tmp_path), use_wandb=False)
+    cat = os.path.join(str(tmp_path), "zq_3d_scatter_epoch3.html")
+    freq = os.path.join(str(tmp_path), "zq_3d_freq_train_log_epoch3.html")
+    for p in (cat, freq):
+        assert os.path.exists(p), p
+        html = open(p).read()
+        assert "<canvas" in html and "DATA=" in html and "pts" in html
+        assert "http" not in html.split("<script>")[1]  # self-contained
+    assert '"vals"' in open(freq).read()  # frequency coloring embedded
+
+
+def test_export_scatter3d_html_empty_returns_none(tmp_path):
+    from flocoder_tpu.utils.interactive_scatter import export_scatter3d_html
+    out = export_scatter3d_html(
+        os.path.join(str(tmp_path), "x.html"),
+        [{"name": "empty", "points": np.zeros((0, 3))}])
+    assert out is None
