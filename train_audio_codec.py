@@ -42,8 +42,10 @@ def train_audio_codec(config):
                                                   flatten_tree)
     from flocoder_tpu.training.audio import (make_audio_optimizer,
                                              make_audio_train_step,
+                                             make_audio_gan_step,
                                              make_audio_eval_step)
-    from flocoder_tpu.training.vqgan import create_vqgan_state
+    from flocoder_tpu.training.vqgan import (create_vqgan_state,
+                                             make_vqgan_optimizers)
     from flocoder_tpu.utils import logging as wblog
     from flocoder_tpu.utils.codebook_analysis import (CodebookUsageTracker,
                                                       analyze_codebooks)
@@ -104,10 +106,38 @@ def train_audio_codec(config):
         print(f"resumed codec from {resume} (epoch {ck['epoch']})")
 
     tx = make_audio_optimizer(lr)
-    state = create_vqgan_state(params, tx)
     step_mesh = mesh if mesh.size > 1 else None
     if step_mesh is not None:
         print(f"multi-chip audio codec training: shard_map over {mesh.shape}")
+
+    # adversarial stage (codec.gan, default on — VERDICT r4 #3: mel/STFT
+    # alone leave phase unpinned): two-phase warmup→GAN like train_vqgan.py,
+    # with HiFi-GAN/DAC-style multi-period + multi-scale waveform
+    # discriminators (models/audio_disc.py). gan=false reproduces the
+    # recon-only recipe.
+    use_gan = bool(cc.get("gan", True))
+    gan_warmup_epochs = int(cc.get("gan_warmup_epochs", 50))
+    gan_step = None
+    if use_gan:
+        from flocoder_tpu.models.audio_disc import DACDiscriminator
+        disc = DACDiscriminator(
+            periods=tuple(cc.get("disc_periods", [2, 3, 5, 7, 11])),
+            scales=int(cc.get("disc_scales", 3)),
+            base_channels=int(cc.get("disc_base_channels", 16)))
+        rng, k_disc = jax.random.split(rng)
+        d_vars = disc.init(k_disc, sample)
+        n_d = sum(p.size for p in jax.tree_util.tree_leaves(d_vars))
+        print(f"waveform discriminators: {len(disc.periods)} periods + "
+              f"{disc.scales} scales, {n_d/1e6:.2f}M params, GAN phase "
+              f"from epoch {gan_warmup_epochs + 1}")
+        _, tx_d = make_vqgan_optimizers(
+            lr, d_lr_scale=float(cc.get("d_lr_scale", 1.0)))
+        state = create_vqgan_state(params, tx, {"params": d_vars["params"]},
+                                   tx_d)
+        gan_step = make_audio_gan_step(codec, tx, disc, tx_d, config,
+                                       mesh=step_mesh)
+    else:
+        state = create_vqgan_state(params, tx)
     train_step = make_audio_train_step(codec, tx, config, mesh=step_mesh)
     eval_step = make_audio_eval_step(codec, config)
 
@@ -125,19 +155,22 @@ def train_audio_codec(config):
     key = make_training_key(seed + 1, ldcfg(config, "rng_impl", None))
     t0 = time.time()
     for epoch in range(1, epochs + 1):
+        gan_phase = use_gan and epoch > gan_warmup_epochs
+        step_fn = gan_step if gan_phase else train_step
         ep_aux = []
         t_ep = time.time()
         for batch in train_loader:
             key, k = jax.random.split(key)
             x = shard_batch(mesh, batch["target"])
-            state, aux, idx = train_step(state, x, k)
+            state, aux, idx = step_fn(state, x, k)
             ep_aux.append(aux)
             cb_tracker.update_counts(
                 "train", np.asarray(idx).reshape(-1, idx.shape[-1]))
         means = {k: float(np.mean([float(a[k]) for a in ep_aux]))
                  for k in ep_aux[0]} if ep_aux else {}
         sps = len(ep_aux) * batch_size / max(time.time() - t_ep, 1e-9)
-        print(f"epoch {epoch}/{epochs} " +
+        phase = "GAN" if gan_phase else "recon"
+        print(f"epoch {epoch}/{epochs} [{phase}] " +
               "  ".join(f"{k} {v:.4f}" for k, v in means.items()) +
               f"  {sps:.0f} clips/s")
         if use_wandb:
