@@ -523,7 +523,18 @@ class HDiT(nn.Module):
                 B = x.shape[0]
                 S = self.pp_axis_size
                 if self.pp_interleave > 1:
-                    # interleaved schedule: M must come in rounds of S
+                    # interleaved schedule: M must come in rounds of S, so
+                    # the per-shard batch must split into a multiple of S
+                    # microbatches — a constraint the plain GPipe path does
+                    # not have (ADVICE r4: fail HERE with the requirement
+                    # named, not at trace time inside the pipeline)
+                    if B < S or B % S != 0:
+                        raise ValueError(
+                            f"pp_interleave={self.pp_interleave} needs the "
+                            f"per-shard batch ({B}) divisible by "
+                            f"pp_stages={S} (microbatch count must be a "
+                            f"multiple of the stage count); pad the batch "
+                            f"or set pp_interleave=1")
                     M = self.pp_microbatches or max(
                         (m for m in range(S, min(2 * S, B) + 1, S)
                          if B % m == 0), default=S)

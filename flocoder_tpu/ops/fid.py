@@ -106,11 +106,13 @@ def make_random_projection_features(dim: int = 2048, seed: int = 0,
     to near-constant features and a meaningless FID, so that case warns.
 
     The projection matrix is drawn from numpy's Philox bit generator
-    (VERDICT r3 #4a): numpy guarantees stream stability for a given bit
-    generator across versions and platforms, so rp-backend FIDs are
-    comparable across rounds and machines (a jax PRNG draw could drift
-    with the default key implementation). tests/test_fid_parity.py pins a
-    checksum of the C=3 projection so any drift fails CI."""
+    (VERDICT r3 #4a): NEP 19 freezes the Philox bit stream across numpy
+    versions and platforms, which removes the likeliest drift source (a
+    jax PRNG draw could change with the default key implementation). The
+    distribution layer (Generator.standard_normal's algorithm) is not
+    itself covered by that policy, so the actual stability CONTRACT is the
+    pinned checksum of the C=3 projection in tests/test_fid_parity.py —
+    any drift, from numpy or otherwise, fails CI."""
     def feature_fn(images: jax.Array) -> jax.Array:
         x = images.astype(jnp.float32)
         if images.dtype == jnp.uint8:
@@ -146,8 +148,10 @@ def make_random_projection_features(dim: int = 2048, seed: int = 0,
 
 
 def _projection_matrix(in_dim: int, out_dim: int, seed: int) -> jax.Array:
-    """Fixed Gaussian projection from numpy Philox — bit-stable across
-    numpy versions/platforms (committed-seed contract, VERDICT r3 #4a)."""
+    """Fixed Gaussian projection from numpy Philox. The Philox bit stream
+    is frozen by NEP 19; the standard_normal transform on top of it is not,
+    so cross-version stability is ENFORCED by the pinned checksum in
+    tests/test_fid_parity.py rather than assumed (ADVICE r4)."""
     rng = np.random.Generator(np.random.Philox(seed))
     W = rng.standard_normal((in_dim, out_dim), dtype=np.float64)
     return jnp.asarray(W / np.sqrt(in_dim), jnp.float32)
