@@ -85,6 +85,46 @@ def test_audio_artifact():
     assert s["last_step_components"]["vq"] < 0.05
 
 
+def test_image_gate_artifact():
+    """The image-grade quality gate (VERDICT r4 #1): tpu_demo pipeline at
+    CPU scale, pixel metrics. Pins carry margin over the 2026-08-21
+    measured values (docs/QUALITY.md image section)."""
+    d = _load("image")
+    s = d["summary"]
+    assert d["steps"] == 800 and d["batch"] == 64
+    # noise floors committed for reading every row against
+    assert s["fid_data_vs_data"] < 5
+    assert s["sinkhorn_data_vs_data"] < 10
+    # base U-Net: perfect conditional control (measured 1.0), FID far off
+    # the untrained ~194 (measured 140.6), latent Sinkhorn well under the
+    # untrained ~1190 (measured 15.8)
+    u = s["unet_rk4_50"]
+    assert u["color_acc"] > 0.9
+    assert u["fid_px"] < 170
+    assert u["sinkhorn_latent"] < 15 * max(s["sinkhorn_data_vs_data"], 1.0)
+    # MeanFlow 1-NFE matches the guided 196-NFE baseline at image scale
+    # (measured: FID 140.8 vs 140.6, color acc 1.0 both)
+    mf = s["meanflow_1nfe"]
+    assert mf["nfe"] == 1
+    assert mf["color_acc"] > 0.9
+    assert mf["fid_px"] < 1.25 * u["fid_px"]
+    # few-step serving: base Euler-5 holds quality (OT-straightened
+    # flows), reflow stays within range of it (measured finding: reflow
+    # adds distillation error when the base is already straight)
+    b5 = s["base_euler5"]
+    r5 = s["reflow_euler5"]
+    assert b5["color_acc"] > 0.9 and r5["color_acc"] > 0.9
+    assert b5["fid_px"] < 1.25 * u["fid_px"]
+    assert r5["fid_px"] < 1.4 * b5["fid_px"]
+    # HDiT: conditioning-uptake lag replicates at image scale (measured
+    # color acc 0.781 @ equal budget -> 1.0 @ 3x; converged FID 109.6 is
+    # the best of all families)
+    h = s["hdit_rk4_50_converged"]
+    assert h["color_acc"] > 0.9
+    assert h["fid_px"] < 1.1 * u["fid_px"]
+    assert "hdit_rk4_50_equal_budget" in s
+
+
 def test_pod_recipe_artifact():
     d = _load("pod")
     s = d["summary"]
