@@ -82,7 +82,18 @@ def test_audio_artifact():
     # mel floor well under its start (measured 27.8 -> ~10, mel -> ~1.5)
     assert s["total_loss_floor"] < 0.55 * s["first_loss"]
     assert s["mel_loss_floor"] < 2.5
-    assert s["last_step_components"]["vq"] < 0.05
+    assert s["recon_components"]["vq"] < 0.05
+    # adversarial phase (round 5): trains STABLY — hinge d_loss well under
+    # its 2.0 untrained value, feature matching small, waveform L1 not
+    # regressed — while SNR/mel move within the documented adversarial
+    # trade band (measured −0.23 dB / +0.16 mel: realism-for-alignment,
+    # the known DAC/HiFi-GAN behavior at probe capacity; docs/QUALITY.md)
+    g = s["gan_components"]
+    assert g["d_loss"] < 1.5
+    assert g["feat"] < 1.0
+    assert g["wave_l1"] <= 1.15 * s["recon_components"]["wave_l1"]
+    assert abs(s["snr_gain_db"]) < 3.0
+    assert s["gan_mel"] < 2.5
 
 
 def test_image_gate_artifact():
