@@ -148,3 +148,10 @@ def test_pod_recipe_artifact():
     q = s["rk4_25"]
     assert q["sinkhorn_latent"] == q["sinkhorn_latent"]  # not NaN
     assert abs(q["class0_mean"]) < 10 and abs(q["class1_mean"]) < 10
+    # round 5: the interleaved-pipeline end-to-end drive (2 stages × 2
+    # virtual chunks through train_flow.py; tools/pod_interleaved_drive.py)
+    inter = s.get("interleaved_drive")
+    if inter is not None:
+        assert inter["final_eval_loss"] < 5.0
+        assert inter["steps"] >= 8 * inter["epochs"]
+        assert "2 stages x 2 chunks" in inter["mesh"]
